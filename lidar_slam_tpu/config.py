@@ -1,0 +1,154 @@
+"""Configuration tree for the TPU-native LiDAR SLAM framework.
+
+All configs are frozen (hashable) dataclasses so they can be passed as static
+arguments to jit-compiled step functions. Field names and defaults mirror the
+reference system's effective runtime values:
+
+- ICP defaults:        reference types.hpp:143-148
+- Scan Context:        reference scan_context.hpp:27-29 (20 rings x 60 sectors, 80 m)
+- Loop closure:        reference loop_closure.hpp:14-19 with the node's override of
+                       sc_distance_threshold=0.2 (slam_node.cpp:77-81)
+- Pose graph sigmas:   reference pose_graph.hpp:22-40
+- Occupancy grid:      reference slam_node.hpp:35-40 and slam_node.cpp:211-221
+- SLAM node params:    reference slam_node.cpp:17-35 (voxel_size, max_iterations,
+                       tolerance, min_points=1000 from slam_node.hpp:29)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ICPConfig:
+    """Point-to-plane ICP settings (reference types.hpp:143-148)."""
+
+    max_iterations: int = 50
+    tolerance: float = 1e-6        # convergence threshold on |error change|
+    min_error: float = 1e-9        # stop if RMS plane error falls below this
+    normal_k: int = 20             # kNN size for normal estimation (icp.hpp:26)
+    solver_damping: float = 1e-9   # Tikhonov term on the 6x6 normal equations (f32 safety)
+
+
+@dataclass(frozen=True)
+class ScanContextConfig:
+    """Scan Context descriptor geometry (reference scan_context.hpp:27-29,59)."""
+
+    num_rings: int = 20
+    num_sectors: int = 60
+    max_range: float = 80.0
+    min_range: float = 0.1
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Two-stage loop-closure detection (reference loop_closure.hpp:14-19).
+
+    ``sc_distance_threshold`` defaults to the node's effective override of 0.2
+    (slam_node.cpp:79), not the struct default 0.25 (SURVEY.md quirk #6).
+    """
+
+    frame_gap: int = 50
+    sc_distance_threshold: float = 0.2
+    icp_fitness_threshold: float = 0.3
+    max_candidates: int = 3
+    icp_max_iterations: int = 30       # loop verification budget (loop_closure.hpp:106)
+    yaw_seed: bool = False             # improvement: seed verify-ICP yaw from best SC shift
+    ring_key_prefilter: int = 0        # improvement: >0 = prefilter DB by ring-key top-k
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    """SE(3) pose-graph LM settings (reference pose_graph.hpp:22-40).
+
+    The backend is a from-scratch JAX Levenberg-Marquardt optimizer (the
+    reference delegates to GTSAM, pose_graph.cpp:147-171); ``error`` matches
+    GTSAM's convention of 0.5 * sum of squared whitened residuals.
+    """
+
+    odom_rotation_sigma: float = 0.01
+    odom_translation_sigma: float = 0.05
+    prior_rotation_sigma: float = 0.001
+    prior_translation_sigma: float = 0.001
+    loop_rotation_sigma: float = 0.005
+    loop_translation_sigma: float = 0.025
+    max_iterations: int = 100
+    relative_error_tol: float = 1e-5
+    absolute_error_tol: float = 1e-5
+    # TPU-native solver knobs (no reference analog — GTSAM used direct solves):
+    cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
+    cg_tolerance: float = 1e-8
+    lambda_init: float = 1e-5          # GTSAM LevenbergMarquardtParams default
+    lambda_factor: float = 10.0
+    lambda_max: float = 1e7
+
+
+@dataclass(frozen=True)
+class OccupancyGridConfig:
+    """Occupancy-grid mapping (reference slam_node.hpp:35-40, slam_node.cpp:211-221)."""
+
+    resolution: float = 0.2
+    height_min: float = 0.3
+    height_max: float = 2.0
+    max_range: float = 40.0
+    min_range: float = 0.5             # hardcoded r < 0.5 skip (slam_node.cpp:216)
+    grid_dim: int = 4096               # fixed world grid (cells), centered at origin
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level pipeline config (reference slam_node.cpp:17-35, slam_node.hpp:25-30).
+
+    Static shape capacities (``max_raw_points``, ``max_points``, ``max_frames``,
+    ``max_loop_factors``) replace the reference's dynamic std::vectors; every
+    per-scan array is padded to these and carries a validity mask.
+    """
+
+    voxel_size: float = 0.5
+    min_points: int = 1000             # frame-skip guard (slam_node.cpp:125-130)
+    divergence_error: float = 1.0      # ICP fallback threshold (slam_node.cpp:139-140)
+    loop_check_every: int = 10         # detect cadence (slam_node.cpp:160)
+    loop_start_frame: int = 50         # frame_idx > 50 gate (slam_node.cpp:160)
+
+    # Static capacities
+    max_raw_points: int = 131072
+    max_points: int = 32768            # downsampled cloud pad size
+    lc_cloud_points: int = 0           # keyframe-DB cloud size; 0 = use max_points
+    max_frames: int = 4608
+    max_loop_factors: int = 512
+
+    icp: ICPConfig = ICPConfig()
+    sc: ScanContextConfig = ScanContextConfig()
+    lc: LoopClosureConfig = LoopClosureConfig()
+    pg: PoseGraphConfig = PoseGraphConfig()
+    grid: OccupancyGridConfig = OccupancyGridConfig()
+
+    knn_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
+
+    @property
+    def lc_points(self) -> int:
+        return self.lc_cloud_points if self.lc_cloud_points > 0 else self.max_points
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**kw) -> SlamConfig:
+    """A small config for tests / dry runs (CPU-friendly shapes)."""
+    base = dict(
+        max_raw_points=2048,
+        max_points=512,
+        lc_cloud_points=256,
+        max_frames=64,
+        max_loop_factors=16,
+        min_points=8,
+        loop_start_frame=4,
+        loop_check_every=2,
+        icp=ICPConfig(max_iterations=12, normal_k=8),
+        lc=LoopClosureConfig(frame_gap=4, icp_max_iterations=10),
+        pg=PoseGraphConfig(max_iterations=25, cg_iterations=60),
+        grid=OccupancyGridConfig(grid_dim=256),
+    )
+    base.update(kw)
+    return SlamConfig(**base)

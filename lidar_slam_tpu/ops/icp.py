@@ -1,0 +1,158 @@
+"""Point-to-plane ICP as a jit-compiled fixed-shape program.
+
+Replaces the reference's dynamic iteration loop (icp.hpp:157-258) with a
+``lax.while_loop`` over a frozen-shape carry: same per-iteration math
+(1-NN correspondences -> RMS plane error -> convergence test -> Gauss-Newton
+6-DoF solve -> left-composed delta), same convergence/bookkeeping semantics:
+
+- error recorded *before* the solve each iteration (icp.hpp:198-207),
+- converge if err < min_error or |prev - err| < tolerance (icp.hpp:210-217),
+- ``converged`` stays False if the budget is exhausted (reference quirk #2),
+- final error recomputed after the loop and appended (icp.hpp:235-252),
+- ``num_iterations = len(error_history) - 1`` (icp.hpp:255).
+
+Consciously fixed (SURVEY.md quirk #1): the reference queries the KD-tree
+twice per iteration (icp.hpp:185 and :190); here one 1-NN pass yields both the
+matched points and the normal indices.
+
+The Gauss-Newton step mirrors solve_point_to_plane (icp.hpp:89-144):
+J_i = [p_i x n_i, n_i], b_i = (q_i - p_i) . n_i, 6x6 normal equations, then
+delta = [Rodrigues(x[:3]), x[3:]] — note the reference applies the raw
+translation (no SE(3) V-matrix), which is matched exactly.
+
+Unlike the reference, target normals are an *input*: the engine estimates
+them once per scan and caches them (the reference recomputes them on every
+ICP call, icp.hpp:166-171 — pure waste when a scan is reused as a target).
+Use :func:`icp_point_to_plane_auto` for the self-contained reference-shaped
+API.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ICPConfig
+from ..types import ICPResult, PointCloud
+from . import se3
+from .knn import nn1
+from .normals import estimate_normals
+
+
+def solve_point_to_plane(
+    src: jnp.ndarray,
+    tgt_matched: jnp.ndarray,
+    normals: jnp.ndarray,
+    weights: jnp.ndarray,
+    damping: float = 1e-9,
+) -> jnp.ndarray:
+    """One Gauss-Newton step; returns the (4, 4) delta transform.
+
+    Mirrors icp.hpp:89-144 with masked rows: invalid correspondences get
+    weight 0. The normal equations are mean-normalized (instead of summed)
+    for f32 conditioning — the solution is identical.
+    """
+    pxn = jnp.cross(src, normals)
+    J = jnp.concatenate([pxn, normals], axis=-1)          # (N, 6)
+    b = jnp.sum((tgt_matched - src) * normals, axis=-1)   # (N,)
+    w = weights.astype(src.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    Jw = J * w[:, None]
+    prec = jax.lax.Precision.HIGHEST  # f32-accurate normal equations on the MXU
+    A = jnp.matmul(Jw.T, J, precision=prec) / denom + damping * jnp.eye(6, dtype=src.dtype)
+    rhs = jnp.matmul(Jw.T, b, precision=prec) / denom
+    x = jnp.linalg.solve(A, rhs)
+    R = se3.exp_so3(x[:3])     # Rodrigues (icp.hpp:126-141)
+    return se3.from_rt(R, x[3:])  # raw translation, as in the reference
+
+
+class _Carry(NamedTuple):
+    it: jnp.ndarray
+    T: jnp.ndarray
+    prev_err: jnp.ndarray
+    converged: jnp.ndarray
+    hist: jnp.ndarray
+
+
+def _plane_error(cur, matched, normals, w, denom):
+    d = jnp.sum((matched - cur) * normals, axis=-1)
+    return jnp.sqrt(jnp.sum(d * d * w) / denom)
+
+
+def icp_point_to_plane(
+    src: PointCloud,
+    tgt: PointCloud,
+    tgt_normals: jnp.ndarray,
+    config: ICPConfig = ICPConfig(),
+    init_transform: Optional[jnp.ndarray] = None,
+    nn1_fn: Optional[Callable] = None,
+) -> ICPResult:
+    """Register ``src`` onto ``tgt``: returns T with T(src) ~= tgt.
+
+    ``nn1_fn(src_pts, tgt_pts, tgt_mask) -> (idx, dist2)`` is injectable so the
+    engine can swap in the Pallas 1-NN kernel on TPU.
+    """
+    if nn1_fn is None:
+        nn1_fn = lambda s, t, m: nn1(s, t, m)
+    if init_transform is None:
+        init_transform = se3.identity(src.points.dtype)
+
+    w = src.mask.astype(src.points.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    max_it = config.max_iterations
+
+    def correspondences(T):
+        cur = se3.apply(T, src.points)
+        idx, _ = nn1_fn(cur, tgt.points, tgt.mask)
+        return cur, tgt.points[idx], tgt_normals[idx]
+
+    def cond(c: _Carry):
+        return jnp.logical_and(c.it < max_it, jnp.logical_not(c.converged))
+
+    def body(c: _Carry):
+        cur, matched, nrm = correspondences(c.T)
+        err = _plane_error(cur, matched, nrm, w, denom)
+        hist = c.hist.at[c.it].set(err)
+        conv = jnp.logical_or(
+            err < config.min_error, jnp.abs(c.prev_err - err) < config.tolerance
+        )
+        delta = solve_point_to_plane(cur, matched, nrm, src.mask, config.solver_damping)
+        T_new = jnp.where(conv, c.T, se3.compose(delta, c.T))
+        return _Carry(c.it + 1, T_new, err, conv, hist)
+
+    init = _Carry(
+        it=jnp.int32(0),
+        T=jnp.asarray(init_transform, src.points.dtype),
+        prev_err=jnp.asarray(jnp.inf, src.points.dtype),
+        converged=jnp.bool_(False),
+        hist=jnp.zeros((max_it + 1,), src.points.dtype),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    # Final error with final correspondences (icp.hpp:235-252).
+    cur, matched, nrm = correspondences(out.T)
+    final_err = _plane_error(cur, matched, nrm, w, denom)
+    hist = out.hist.at[out.it].set(final_err)
+
+    return ICPResult(
+        transformation=out.T,
+        converged=out.converged,
+        num_iterations=out.it,
+        error_history=hist,
+        final_error=final_err,
+    )
+
+
+def icp_point_to_plane_auto(
+    src: PointCloud,
+    tgt: PointCloud,
+    config: ICPConfig = ICPConfig(),
+    init_transform: Optional[jnp.ndarray] = None,
+) -> ICPResult:
+    """Reference-shaped API: estimates target normals internally
+    (icp.hpp:166-171) then registers."""
+    normals = estimate_normals(tgt.points, tgt.mask, k=config.normal_k)
+    return icp_point_to_plane(src, tgt, normals, config, init_transform)

@@ -1,0 +1,133 @@
+"""Nearest-neighbor search kernels (XLA path).
+
+Replaces the reference's CPU KD-tree (kdtree.hpp:18-221: median-split build,
+1-NN with branch pruning, k-NN max-heap, serial batch loop). A KD-tree's
+data-dependent traversal has no efficient XLA analog; TPU-natively the search
+is a blockwise-streamed brute-force: squared distances via the MXU identity
+|s - t|^2 = |s|^2 + |t|^2 - 2 s.t, with a running (min, argmin) / top-k
+accumulator over target chunks so the full S x T distance matrix is never
+materialized in HBM.
+
+Two backends share one interface:
+- this module: pure-jnp `lax.scan` streaming (runs on CPU for tests, and is
+  the fallback everywhere),
+- :mod:`lidar_slam_tpu.ops.knn_pallas`: a Pallas VMEM-resident kernel for the
+  per-ICP-iteration 1-NN hot path on real TPUs.
+
+Invalid (masked-out) target points are displaced to a far sentinel coordinate
+so they are never selected; invalid source rows return index 0 / distance at
+the sentinel scale and must be masked downstream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = 1.0e6  # meters; far beyond any LiDAR return
+
+# On TPU, f32 matmuls default to bf16 MXU passes — catastrophic for the
+# |s|^2 + |t|^2 - 2 s.t distance expansion (|p|^2 ~ 6400 at 80 m range needs
+# ~1e-5 relative accuracy to rank 0.25 m-spaced neighbors). HIGHEST selects
+# the multi-pass f32-accurate MXU mode; the K=3 contraction is bandwidth-bound
+# anyway, so this costs nothing.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def mask_points(pts: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Displace invalid points to the sentinel so brute-force never picks them."""
+    return jnp.where(mask[..., None], pts, SENTINEL)
+
+
+def _chunk(n: int, requested: int) -> int:
+    c = min(n, requested)
+    while n % c != 0:  # static shapes: chunk must divide padded size
+        c -= 1
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def nn1(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    chunk: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """1-NN of each source row in the target cloud.
+
+    Returns ``(idx (S,) int32, dist2 (S,) f32)``. Functional replacement for
+    ``KDTree::nearest`` / ``nearest_batch`` (kdtree.hpp:112-142, :43-59) and
+    ``NearestNeighborSearch::find_correspondences`` (kdtree.hpp:198-214).
+    """
+    tgt = mask_points(tgt, tgt_mask)
+    S = src.shape[0]
+    T = tgt.shape[0]
+    c = _chunk(T, chunk)
+    src_sq = jnp.sum(src * src, axis=-1)  # (S,)
+
+    def body(carry, tgt_chunk_and_off):
+        best_d, best_i = carry
+        tgt_c, off = tgt_chunk_and_off
+        # (S, c) squared distances via MXU cross term
+        cross = jnp.matmul(src, tgt_c.T, precision=_PREC)  # (S, c)
+        d2 = src_sq[:, None] + jnp.sum(tgt_c * tgt_c, axis=-1)[None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        local = jnp.argmin(d2, axis=1)
+        local_d = jnp.take_along_axis(d2, local[:, None], axis=1)[:, 0]
+        better = local_d < best_d
+        best_d = jnp.where(better, local_d, best_d)
+        best_i = jnp.where(better, local.astype(jnp.int32) + off, best_i)
+        return (best_d, best_i), None
+
+    chunks = tgt.reshape(T // c, c, 3)
+    offs = (jnp.arange(T // c, dtype=jnp.int32) * c)
+    init = (jnp.full((S,), jnp.inf, src.dtype), jnp.zeros((S,), jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(body, init, (chunks, offs))
+    return best_i, best_d
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    k: int,
+    chunk: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k-NN indices and squared distances, ``(S, k)`` each.
+
+    Replacement for ``KDTree::k_nearest`` (kdtree.hpp:144-180). Streams target
+    chunks and merges a running per-row top-k via concatenate + ``lax.top_k``
+    (the ring-attention-shaped accumulator from SURVEY.md §2).
+    """
+    tgt = mask_points(tgt, tgt_mask)
+    S = src.shape[0]
+    T = tgt.shape[0]
+    c = _chunk(T, max(chunk, k))
+    src_sq = jnp.sum(src * src, axis=-1)
+
+    def body(carry, tgt_chunk_and_off):
+        best_d, best_i = carry  # (S, k) each; best_d holds NEGATED distances
+        tgt_c, off = tgt_chunk_and_off
+        cross = jnp.matmul(src, tgt_c.T, precision=_PREC)
+        d2 = src_sq[:, None] + jnp.sum(tgt_c * tgt_c, axis=-1)[None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        cand_d = jnp.concatenate([best_d, -d2], axis=1)
+        idx_chunk = jnp.broadcast_to(
+            (jnp.arange(c, dtype=jnp.int32) + off)[None, :], (S, c)
+        )
+        cand_i = jnp.concatenate([best_i, idx_chunk], axis=1)
+        new_d, sel = jax.lax.top_k(cand_d, k)  # top-k of negated = smallest dists
+        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_d, new_i), None
+
+    chunks = tgt.reshape(T // c, c, 3)
+    offs = jnp.arange(T // c, dtype=jnp.int32) * c
+    init = (
+        jnp.full((S, k), -jnp.inf, src.dtype),
+        jnp.zeros((S, k), jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(body, init, (chunks, offs))
+    return best_i, -best_d

@@ -1,0 +1,102 @@
+"""Batched PCA surface-normal estimation.
+
+Replaces the reference's per-point loop (icp.hpp:23-67: k-NN -> neighbor
+covariance -> Eigen SelfAdjointEigenSolver -> smallest-eigenvalue eigenvector,
+z-oriented). TPU-natively all N points are processed at once: one k-NN sweep,
+a batched (N, 3, 3) covariance build, and a closed-form analytic 3x3 symmetric
+eigensolver (trigonometric method) instead of an iterative eigh — the analytic
+form is branch-free and runs entirely on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .knn import knn
+
+_EPS = 1e-12
+
+
+def smallest_eigvec_3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (…, 3, 3) A.
+
+    Analytic eigenvalues via the trigonometric method; eigenvector via cross
+    products of rows of (A - lambda_min I) (the null-space direction), picking
+    the largest-magnitude cross product for stability.
+    """
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, _EPS))
+
+    # r = det((A - qI) / p) / 2, clipped into acos domain.
+    b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
+    b01, b02, b12 = a01 / p, a02 / p, a12 / p
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # Null-space direction of (A - lam_min I): cross products of its rows.
+    M = A - lam_min[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.argmax(jnp.stack([n01, n02, n12], axis=-1), axis=-1)
+    cands = jnp.stack([c01, c02, c12], axis=-2)  # (…, 3, 3)
+    v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    # Degenerate (isotropic / zero) neighborhoods: fall back to +z
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], A.dtype), v.shape)
+    ok = nrm[..., 0] > 1e-10
+    return jnp.where(ok[..., None], v / jnp.maximum(nrm, _EPS), fallback)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def estimate_normals(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int = 20,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """Per-point surface normals of a padded cloud (mirrors icp.hpp:23-67).
+
+    - k nearest neighbors within the same cloud (self included, as in the
+      reference tree query),
+    - covariance of valid neighbors about their centroid,
+    - smallest-eigenvalue eigenvector, flipped so normal.z >= 0,
+    - rows with < 3 valid neighbors (or invalid rows) get (0, 0, 1)
+      (reference fallback icp.hpp:34-37).
+    """
+    idx, _ = knn(pts, pts, mask, k=k, chunk=chunk)
+    nbr = pts[idx]                       # (N, k, 3)
+    w = mask[idx].astype(pts.dtype)      # (N, k) neighbor validity
+    cnt = jnp.sum(w, axis=-1)            # (N,)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+
+    centroid = jnp.sum(nbr * w[..., None], axis=-2) / cnt_safe[..., None]
+    d = (nbr - centroid[..., None, :]) * w[..., None]
+    cov = jnp.einsum(
+        "nki,nkj->nij", d, d, precision=jax.lax.Precision.HIGHEST
+    ) / cnt_safe[..., None, None]
+
+    n = smallest_eigvec_3x3(cov)
+    n = jnp.where(n[..., 2:3] < 0, -n, n)  # orient +z (icp.hpp:59-61)
+
+    degenerate = (cnt < 3.0) | ~mask
+    up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], pts.dtype), n.shape)
+    return jnp.where(degenerate[..., None], up, n)
