@@ -1,0 +1,187 @@
+"""Two-stage loop-closure detection over a fixed-capacity keyframe database.
+
+Replaces the reference LoopClosureDetector (loop_closure.hpp:41-149):
+a per-frame database of (Scan Context descriptor, downsampled cloud, frame
+index), linear descriptor search, then ICP verification of the best
+candidates.
+
+TPU-native design:
+- The DB is a set of preallocated per-frame arrays indexed by frame number
+  (descriptors (F, R, S), clouds (F, N, 3), masks, an ``in_db`` flag) — DB
+  order equals frame order, as in the reference's append-only vectors.
+- Stage 1 (retrieval) is ONE matmul: the 60 rolled queries against every
+  stored descriptor (ops/scan_context.sc_distances), then a masked top-k —
+  the reference's O(frames x 72k MACs) loop (loop_closure.hpp:78-89)
+  collapses onto the MXU.
+- Stage 2 (verification) vmaps the full ICP kernel over the top-k candidates
+  at once, 30 iterations each with identity init (loop_closure.hpp:96-123).
+
+Conscious deviation (bounded verification): the reference walks candidates
+in ascending SC distance until ``max_candidates`` are *accepted*
+(loop_closure.hpp:96-97) — unbounded ICP work in the worst case. Here exactly
+``max_candidates`` best candidates are verified; in practice the true match
+is always among the top few (it is the global SC minimum).
+
+Improvement toggle (off by default for parity): ``yaw_seed=True`` seeds the
+verification ICP with the best SC column shift as an initial yaw — the
+reference computes this shift and discards it (SURVEY.md quirk #8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ICPConfig, LoopClosureConfig, ScanContextConfig
+from ..ops import se3
+from ..ops.icp import icp_point_to_plane
+from ..ops.normals import estimate_normals
+from ..ops.scan_context import sc_distances, scan_context, shift_to_yaw
+from ..types import PointCloud
+
+
+class KeyframeDB(NamedTuple):
+    """Per-frame keyframe storage (loop_closure.hpp:53-59, 143-148)."""
+
+    desc: jnp.ndarray        # (F, R, S)
+    desc_norm: jnp.ndarray   # (F,)
+    clouds: jnp.ndarray      # (F, N, 3)
+    cloud_mask: jnp.ndarray  # (F, N)
+    in_db: jnp.ndarray       # (F,) bool — frame was addFrame'd
+    last_frame: jnp.ndarray  # () int32 — most recently added frame (-1 = none)
+
+
+def init_db(max_frames: int, n_points: int, sc: ScanContextConfig) -> KeyframeDB:
+    return KeyframeDB(
+        desc=jnp.zeros((max_frames, sc.num_rings, sc.num_sectors), jnp.float32),
+        desc_norm=jnp.zeros((max_frames,), jnp.float32),
+        clouds=jnp.zeros((max_frames, n_points, 3), jnp.float32),
+        cloud_mask=jnp.zeros((max_frames, n_points), bool),
+        in_db=jnp.zeros((max_frames,), bool),
+        last_frame=jnp.int32(-1),
+    )
+
+
+def subsample(cloud: PointCloud, n_out: int) -> PointCloud:
+    """Deterministic strided subsample to the DB cloud size.
+
+    Valid points first (they are contiguous after voxel downsample), evenly
+    strided so spatial coverage is preserved (a prefix slice would be
+    spatially biased — the voxel output is sorted by packed voxel key).
+    """
+    n_in = cloud.points.shape[0]
+    if n_out >= n_in:
+        return cloud
+    cnt = cloud.count()
+    # stride over the valid prefix: idx_j = floor(j * cnt / n_out) for cnt > n_out
+    j = jnp.arange(n_out)
+    idx = jnp.where(
+        cnt > n_out, (j * cnt) // n_out, j
+    ).astype(jnp.int32)
+    pts = cloud.points[idx]
+    msk = cloud.mask[idx]
+    return PointCloud(pts, msk)
+
+
+def add_frame(
+    db: KeyframeDB,
+    cloud: PointCloud,
+    frame: jnp.ndarray,
+    sc_cfg: ScanContextConfig,
+    enabled: jnp.ndarray | bool = True,
+) -> KeyframeDB:
+    """addFrame (loop_closure.hpp:53-59): descriptor + cloud + index.
+
+    ``enabled=False`` consumes no slot (frame-skip path, slam_node.cpp:125-130
+    returns before addFrame).
+    """
+    enabled = jnp.asarray(enabled)
+    cl = subsample(cloud, db.clouds.shape[1])
+    desc = scan_context(cl.points, cl.mask, sc_cfg)
+    norm = jnp.sqrt(jnp.sum(desc * desc))
+    f = frame.astype(jnp.int32)
+    return db._replace(
+        desc=db.desc.at[f].set(jnp.where(enabled, desc, db.desc[f])),
+        desc_norm=db.desc_norm.at[f].set(jnp.where(enabled, norm, db.desc_norm[f])),
+        clouds=db.clouds.at[f].set(jnp.where(enabled, cl.points, db.clouds[f])),
+        cloud_mask=db.cloud_mask.at[f].set(
+            jnp.where(enabled, cl.mask, db.cloud_mask[f])
+        ),
+        in_db=db.in_db.at[f].set(jnp.where(enabled, True, db.in_db[f])),
+        last_frame=jnp.where(enabled, f, db.last_frame),
+    )
+
+
+class LoopDetections(NamedTuple):
+    """Fixed-shape result block (mirrors LoopClosureResult, loop_closure.hpp:25-31)."""
+
+    accepted: jnp.ndarray     # (K,) bool
+    query_frame: jnp.ndarray  # () int32
+    match_frame: jnp.ndarray  # (K,) int32
+    transform: jnp.ndarray    # (K, 4, 4) — maps query sensor frame -> match frame
+    sc_distance: jnp.ndarray  # (K,)
+    icp_fitness: jnp.ndarray  # (K,)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg"))
+def detect(
+    db: KeyframeDB,
+    cfg: LoopClosureConfig = LoopClosureConfig(),
+    sc_cfg: ScanContextConfig = ScanContextConfig(),
+) -> LoopDetections:
+    """detect() for the most recently added frame (loop_closure.hpp:66-126)."""
+    F = db.desc.shape[0]
+    K = cfg.max_candidates
+    q = db.last_frame
+    q_safe = jnp.maximum(q, 0)
+
+    dist, best_shift = sc_distances(db.desc[q_safe], db.desc, db.desc_norm)
+
+    frames = jnp.arange(F, dtype=jnp.int32)
+    gap_ok = (q_safe - frames) >= cfg.frame_gap  # frame indices ARE the DB ids
+    cand_ok = (
+        db.in_db
+        & (frames < q_safe)
+        & gap_ok
+        & (dist < cfg.sc_distance_threshold)
+        & (q >= 0)
+    )
+    masked = jnp.where(cand_ok, dist, jnp.inf)
+    neg_top, cand_idx = jax.lax.top_k(-masked, K)  # K best (ascending distance)
+    cand_dist = -neg_top
+    cand_valid = jnp.isfinite(cand_dist)
+    cand_idx = cand_idx.astype(jnp.int32)
+
+    query_cloud = PointCloud(db.clouds[q_safe], db.cloud_mask[q_safe])
+    icp_cfg = ICPConfig(max_iterations=cfg.icp_max_iterations, tolerance=1e-6)
+
+    # Optional yaw seed from the SC best shift (reference uses identity init,
+    # loop_closure.hpp:105-109).
+    if cfg.yaw_seed:
+        yaw = shift_to_yaw(best_shift[cand_idx], sc_cfg.num_sectors)
+        zeros = jnp.zeros_like(yaw)
+        w = jnp.stack([zeros, zeros, yaw], axis=-1)
+        init_T = se3.from_rt(se3.exp_so3(w), jnp.zeros((K, 3)))
+    else:
+        init_T = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+
+    def verify(ci, T0):
+        tgt = PointCloud(db.clouds[ci], db.cloud_mask[ci])
+        tgt_normals = estimate_normals(tgt.points, tgt.mask, k=icp_cfg.normal_k)
+        res = icp_point_to_plane(query_cloud, tgt, tgt_normals, icp_cfg, T0)
+        return res.transformation, res.converged, res.final_error
+
+    tf, conv, fit = jax.vmap(verify)(cand_idx, init_T)
+    accepted = cand_valid & conv & (fit < cfg.icp_fitness_threshold)
+
+    return LoopDetections(
+        accepted=accepted,
+        query_frame=q_safe,
+        match_frame=cand_idx,
+        transform=tf,
+        sc_distance=cand_dist,
+        icp_fitness=fit,
+    )

@@ -87,14 +87,26 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sin_cos_coeffs(theta2: jnp.ndarray):
-    """Safe (A, B, C) = (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3) with Taylor guards."""
-    small = theta2 < 1e-8
-    theta2_safe = jnp.where(small, 1.0, theta2)
+    """Safe (A, B, C) = (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3).
+
+    f32-safe: (1-cos t) and (t - sin t) cancel catastrophically for small t
+    (at t ~ 2e-4, 1-cos t underflows f32 entirely, which poisoned the
+    pose-graph translation log). B uses the cancellation-free half-angle form
+    2 sin^2(t/2)/t^2; C switches to a Taylor series below t = 0.1 where the
+    direct form has >1e-2 relative error in f32.
+    """
+    tiny = theta2 < 1e-12
+    theta2_safe = jnp.where(tiny, 1.0, theta2)
     theta = jnp.sqrt(theta2_safe)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    A = jnp.where(tiny, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    # B = 2 sin^2(t/2) / t^2 = 0.5 * (sin(t/2)/(t/2))^2 — no cancellation.
+    half_sinc = jnp.where(tiny, 1.0 - theta2 / 24.0, jnp.sin(theta * 0.5) / (theta * 0.5))
+    B = 0.5 * half_sinc * half_sinc
+    small_c = theta2 < 0.01  # t < 0.1
     C = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2_safe * theta)
+        small_c,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+        (theta - jnp.sin(theta)) / (theta2_safe * theta),
     )
     return A, B, C
 
@@ -110,21 +122,33 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of Rodrigues, robust near theta = 0 and theta = pi."""
+    """Inverse of Rodrigues, robust near theta = 0 and theta = pi.
+
+    Written to be differentiable-safe: this feeds the pose-graph optimizer's
+    jvp/vjp products, so *both* sides of every ``where`` must have finite
+    primals AND tangents at every evaluated input (a NaN in the untaken
+    branch of a ``where`` still poisons reverse-mode gradients). Inputs to
+    each branch are sanitized before any sqrt/atan2/asin.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     anti = vee(R - jnp.swapaxes(R, -1, -2))  # 2 sin(theta) * axis
-
-    # Generic branch: w = theta / (2 sin theta) * anti, Taylor near 0.
-    sin_t = jnp.sin(theta)
+    s2 = jnp.sum(anti * anti, axis=-1) * 0.25  # sin(theta)^2
     near_pi = cos_t < -1.0 + 1e-4
-    small = theta < 1e-5
-    sin_safe = jnp.where(jnp.abs(sin_t) < 1e-8, 1.0, sin_t)
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_safe))
+
+    # Generic branch: w = theta / (2 sin theta) * anti, Taylor near theta=0.
+    # theta via atan2(sin, cos) — no arccos (its tangent blows up at |c|=1).
+    small = s2 < 1e-12
+    s2_g = jnp.where(small, 1.0, s2)  # sanitized: sqrt tangent finite
+    s_g = jnp.sqrt(s2_g)
+    theta_g = jnp.arctan2(s_g, cos_t)
+    scale = jnp.where(small, 0.5 + s2 / 12.0, theta_g / (2.0 * s_g))
     w_generic = scale[..., None] * anti
 
-    # Near pi: axis from the symmetric part. S = (R + I)/2 = aa^T at theta=pi.
+    # Near pi: axis from the symmetric part S = (R + I)/2 = aa^T at theta=pi;
+    # theta = pi - asin(sin) with a branch-sanitized asin argument.
+    s_pi = jnp.sqrt(jnp.where(near_pi, s2, 0.0) + 1e-20)
+    theta_pi = jnp.pi - jnp.arcsin(jnp.minimum(s_pi, 1.0))
     S = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
     diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1)
     k = jnp.argmax(diag, axis=-1)
@@ -132,7 +156,7 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     axis = col / jnp.maximum(jnp.linalg.norm(col, axis=-1, keepdims=True), _EPS)
     # Fix the sign so that axis agrees with the antisymmetric part when nonzero.
     sign = jnp.where(jnp.sum(axis * anti, axis=-1) < 0.0, -1.0, 1.0)
-    w_pi = (sign * theta)[..., None] * axis
+    w_pi = (sign * theta_pi)[..., None] * axis
 
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
@@ -161,9 +185,14 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     WW = W @ W
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     # V^{-1} = I - W/2 + coef * W^2, coef = (1 - A/(2B)) / theta^2, -> 1/12 at 0.
-    small = theta2 < 1e-8
+    # 1 - A/(2B) cancels below theta ~ 0.1 in f32 -> Taylor there.
+    small = theta2 < 0.01
     theta2_safe = jnp.where(small, 1.0, theta2)
-    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - A / (2.0 * B)) / theta2_safe)
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
+        (1.0 - A / (2.0 * B)) / theta2_safe,
+    )
     Vinv = I - 0.5 * W + coef[..., None, None] * WW
     v = jnp.einsum("...ij,...j->...i", Vinv, t)
     return jnp.concatenate([w, v], axis=-1)

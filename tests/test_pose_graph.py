@@ -1,0 +1,114 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from lidar_slam_tpu.config import PoseGraphConfig
+from lidar_slam_tpu.models import pose_graph as pg
+from lidar_slam_tpu.ops import se3
+
+
+def rand_T(rng, angle=0.3, shift=1.0):
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    R = Rotation.from_rotvec(axis * rng.uniform(-angle, angle)).as_matrix()
+    t = rng.normal(size=3) * shift
+    return se3.from_rt(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+
+
+def build_chain(rng, n, noise_rot=0.0, noise_trans=0.0, max_frames=32, max_loops=8):
+    """Ground-truth chain + (optionally noisy) odometry measurements."""
+    state = pg.init_state(max_frames, max_loops)
+    gt = [jnp.eye(4)]
+    for k in range(1, n):
+        rel_true = rand_T(rng, 0.2, 1.0)
+        gt.append(se3.compose(gt[-1], rel_true))
+        noise = se3.exp(
+            jnp.asarray(
+                np.concatenate(
+                    [rng.normal(size=3) * noise_rot, rng.normal(size=3) * noise_trans]
+                ),
+                jnp.float32,
+            )
+        )
+        rel_meas = se3.compose(rel_true, noise)
+        state = pg.add_odometry(state, jnp.int32(k), rel_meas, jnp.float32(0.0))
+    return state, gt
+
+
+def test_zero_noise_chain_is_fixed_point(rng):
+    state, gt = build_chain(rng, 8)
+    err0 = float(pg.graph_error(state, PoseGraphConfig()))
+    assert err0 < 1e-4
+    res = pg.optimize(state, PoseGraphConfig(max_iterations=10))
+    for k in range(8):
+        np.testing.assert_allclose(
+            np.asarray(res.poses[k]), np.asarray(gt[k]), atol=1e-3
+        )
+    assert float(res.final_error) < 1e-4
+
+
+def test_loop_closure_corrects_drift(rng):
+    """Noisy odometry + exact loop factor to pose 0: optimization must pull the
+    last pose (far off after drift) close to its ground-truth location."""
+    n = 12
+    state, gt = build_chain(rng, n, noise_rot=0.01, noise_trans=0.05)
+    # exact loop measurement from pose 0 to pose n-1
+    rel_loop = se3.compose(se3.inverse(gt[0]), gt[n - 1])
+    state = pg.add_loop(state, jnp.int32(0), jnp.int32(n - 1), rel_loop)
+
+    cfg = PoseGraphConfig(max_iterations=50, cg_iterations=200)
+    err_before = np.linalg.norm(
+        np.asarray(se3.trans(state.poses[n - 1])) - np.asarray(se3.trans(gt[n - 1]))
+    )
+    res = pg.optimize(state, cfg)
+    err_after = np.linalg.norm(
+        np.asarray(se3.trans(res.poses[n - 1])) - np.asarray(se3.trans(gt[n - 1]))
+    )
+    assert float(res.final_error) < float(pg.graph_error(state, cfg))
+    assert err_after < max(0.4 * err_before, 0.05)
+
+
+def test_prior_anchors_pose0(rng):
+    state, _ = build_chain(rng, 6, noise_rot=0.02, noise_trans=0.1)
+    res = pg.optimize(state, PoseGraphConfig(max_iterations=30))
+    # pose 0 pinned at identity by the tight prior (sigma 0.001)
+    np.testing.assert_allclose(np.asarray(res.poses[0]), np.eye(4), atol=5e-3)
+
+
+def test_two_pose_analytic_balance():
+    """One odometry factor vs one loop factor in pure-translation disagreement:
+    the optimum is the precision-weighted average of the two measurements."""
+    state = pg.init_state(8, 4)
+    cfg = PoseGraphConfig()
+    odom = se3.from_rt(jnp.eye(3), jnp.asarray([1.0, 0.0, 0.0]))
+    loop = se3.from_rt(jnp.eye(3), jnp.asarray([2.0, 0.0, 0.0]))
+    state = pg.add_odometry(state, jnp.int32(1), odom, jnp.float32(0.0))
+    state = pg.add_loop(state, jnp.int32(0), jnp.int32(1), loop)
+    res = pg.optimize(state, cfg.replace() if hasattr(cfg, "replace") else cfg)
+    # weights are 1/sigma^2: odom sigma 0.05, loop sigma 0.025 -> loop 4x heavier
+    w_o = 1 / cfg.odom_translation_sigma**2
+    w_l = 1 / cfg.loop_translation_sigma**2
+    expected = (1.0 * w_o + 2.0 * w_l) / (w_o + w_l)
+    got = float(se3.trans(res.poses[1])[0])
+    assert abs(got - expected) < 0.02, (got, expected)
+
+
+def test_invalid_factors_ignored(rng):
+    state, gt = build_chain(rng, 5)
+    # garbage loop marked invalid must not change anything
+    state2 = pg.add_loop(
+        state, jnp.int32(0), jnp.int32(4), rand_T(rng, 3.0, 10.0), valid=False
+    )
+    e1 = float(pg.graph_error(state, PoseGraphConfig()))
+    e2 = float(pg.graph_error(state2, PoseGraphConfig()))
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+
+
+def test_fitness_scales_noise(rng):
+    # higher fitness (worse ICP) -> weaker factor -> larger error reduction room
+    state = pg.init_state(8, 4)
+    rel = se3.from_rt(jnp.eye(3), jnp.asarray([1.0, 0.0, 0.0]))
+    s1 = pg.add_odometry(state, jnp.int32(1), rel, jnp.float32(0.0))
+    s2 = pg.add_odometry(state, jnp.int32(1), rel, jnp.float32(0.5))
+    assert float(s1.odom_scale[1]) == 1.0
+    assert abs(float(s2.odom_scale[1]) - 6.0) < 1e-6  # 1 + 0.5*10 (pose_graph.cpp:88)
