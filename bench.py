@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end SLAM throughput on the synthetic loop dataset.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "scans/s", "vs_baseline": N}
+
+Baseline = the repo north star (BASELINE.json): >= 200 scans/sec end-to-end
+(full pipeline: voxel downsample -> normals -> point-to-plane ICP odometry ->
+Scan Context -> loop detection cadence -> pose-graph LM on loop + finalize)
+at KITTI-like density on one TPU chip. The reference C++ system publishes no
+throughput numbers (BASELINE.md); 200 scans/s is the driver-set target.
+
+Environment knobs:
+  BENCH_FRAMES   (default 240)   number of scans
+  BENCH_POINTS   (default 32768) raw points per scan
+  BENCH_DS       (default 16384) downsampled capacity
+  BENCH_LC       (default 4096)  loop-DB cloud capacity
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    frames = int(os.environ.get("BENCH_FRAMES", 240))
+    raw_pts = int(os.environ.get("BENCH_POINTS", 32768))
+    ds_pts = int(os.environ.get("BENCH_DS", 16384))
+    lc_pts = int(os.environ.get("BENCH_LC", 4096))
+
+    import jax
+
+    from lidar_slam_tpu.config import SlamConfig
+    from lidar_slam_tpu.models.pipeline import SlamEngine
+    from lidar_slam_tpu.utils.dataset import (
+        generate_trajectory,
+        generate_world,
+        render_scan,
+        route_half_for,
+    )
+    from lidar_slam_tpu.utils.metrics import ate_rmse
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    half = route_half_for(frames)
+    world = generate_world(0, route_half=half, n_buildings=40)
+    gt = generate_trajectory(frames, half=half)
+    rng = np.random.default_rng(0)
+    log(f"rendering {frames} scans ({raw_pts} pts, route radius {half:.0f} m)...")
+    scans = [
+        render_scan(world, gt[i], rng, max_points=raw_pts) for i in range(frames)
+    ]
+
+    raw_cap = 1 << int(np.ceil(np.log2(max(len(s) for s in scans))))
+    cfg = SlamConfig(
+        max_raw_points=raw_cap,
+        max_points=ds_pts,
+        lc_cloud_points=lc_pts,
+        max_frames=frames + 8,
+    )
+    log(
+        f"config: raw_cap={raw_cap} ds={ds_pts} lc={lc_pts} "
+        f"backend={cfg.knn_backend}"
+    )
+
+    def run() -> SlamEngine:
+        eng = SlamEngine(cfg)
+        for s in scans:
+            info = eng.push_scan(s)
+            if info:
+                log(f"loop: {info}")
+        eng.finalize()
+        import jax
+
+        jax.block_until_ready(eng.state.poses)
+        return eng
+
+    log("warmup (compile)...")
+    t0 = time.perf_counter()
+    eng = run()
+    log(f"warmup run: {time.perf_counter() - t0:.1f}s")
+
+    log("timed run...")
+    t0 = time.perf_counter()
+    eng = run()
+    wall = time.perf_counter() - t0
+    sps = frames / wall
+
+    ate = ate_rmse(eng.trajectory(), gt)
+    m = eng.metrics()
+    log(
+        f"{frames} scans in {wall:.2f}s -> {sps:.1f} scans/s | "
+        f"ATE {ate:.3f} m | loops {m['loop_count']} | "
+        f"mean ICP iters {m['icp_iters'][1:].mean():.1f} | "
+        f"mean ICP err {m['icp_error'][1:].mean():.3f}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "synth_full_slam_scans_per_sec",
+                "value": round(sps, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(sps / 200.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

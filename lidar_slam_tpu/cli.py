@@ -1,0 +1,221 @@
+"""Command-line driver.
+
+Replaces the reference's ROS2 launch + node entry point (slam.launch.py,
+slam_node.cpp:341-350). Flags mirror the ROS parameter names
+(slam_node.cpp:17-25, README table :203-213): data_dir, voxel_size,
+playback_rate, max_iterations, tolerance, grid_resolution, height_min,
+height_max, max_range. Instead of RViz topics, results are exported as
+artifacts (trajectory / map.ply / occupancy / metrics.jsonl).
+
+Subcommands:
+  run           — full SLAM over a directory of .ply/.bin frames
+  convert       — KITTI .bin -> .ply (replaces tools/convert_to_ply.cpp)
+  make-dataset  — generate the synthetic loop dataset
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _build_config(args):
+    from .config import (
+        ICPConfig,
+        OccupancyGridConfig,
+        SlamConfig,
+        tiny_config,
+    )
+
+    if args.preset == "tiny":
+        base = tiny_config()
+    else:
+        base = SlamConfig()
+    cfg = base.replace(
+        voxel_size=args.voxel_size,
+        icp=base.icp.__class__(
+            max_iterations=args.max_iterations,
+            tolerance=args.tolerance if args.tolerance is not None else base.icp.tolerance,
+            normal_k=base.icp.normal_k,
+        ),
+        grid=OccupancyGridConfig(
+            resolution=args.grid_resolution,
+            height_min=args.height_min,
+            height_max=args.height_max,
+            max_range=args.max_range,
+            grid_dim=base.grid.grid_dim,
+        ),
+    )
+    if args.max_points:
+        # full-size verification clouds unless --lc-points narrows them
+        cfg = cfg.replace(max_points=args.max_points, lc_cloud_points=0)
+    if getattr(args, "lc_points", 0):
+        cfg = cfg.replace(lc_cloud_points=args.lc_points)
+    if args.max_raw_points:
+        cfg = cfg.replace(max_raw_points=args.max_raw_points)
+    if args.max_frames:
+        cfg = cfg.replace(max_frames=args.max_frames)
+    if args.knn_backend:
+        cfg = cfg.replace(knn_backend=args.knn_backend)
+    return cfg
+
+
+def cmd_run(args) -> int:
+    import numpy as np  # noqa: F401
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .models.pipeline import SlamEngine
+    from .utils import export
+    from .utils.io import discover_frames
+    from .utils.native import FrameLoader
+
+    frames = discover_frames(args.data_dir)
+    if not frames:
+        print(f"No frames found in {args.data_dir}", file=sys.stderr)
+        return 1
+    if args.frames:
+        frames = frames[: args.frames]
+
+    cfg = _build_config(args)
+    if cfg.max_frames < len(frames):
+        cfg = cfg.replace(max_frames=len(frames) + 8)
+    if not args.max_raw_points:
+        # auto-size the raw capacity from the first frame (truncation would
+        # spatially bias the scan — render/driver order is not shuffled)
+        from .utils.io import load_scan
+
+        n0 = len(load_scan(frames[0][1]))
+        cap = 1 << max(int(np.ceil(np.log2(max(n0, 1024)))), 10)
+        if cap != cfg.max_raw_points:
+            cfg = cfg.replace(max_raw_points=cap)
+    engine = SlamEngine(cfg)
+    print(
+        f"config: voxel={cfg.voxel_size} max_points={cfg.max_points} "
+        f"frames={len(frames)} backend={cfg.knn_backend}"
+    )
+
+    period = 1.0 / args.playback_rate if args.playback_rate > 0 else 0.0
+    loader = FrameLoader(
+        [p for _, p in frames], cap=cfg.max_raw_points, window=8, threads=2
+    )
+    t_start = time.perf_counter()
+    for i, (_, path) in enumerate(frames):
+        t0 = time.perf_counter()
+        info = engine.push_scan(loader.get(i))
+        if info:
+            print(f"Loop: {info['query']} <-> {info['matches']}")
+        if i % 10 == 0 and i > 0:
+            # mirror slam_node.cpp:169-174 cadence
+            err = float(engine.state.icp_error[i])
+            ms = (time.perf_counter() - t0) * 1e3
+            print(
+                f"Frame {i}/{len(frames) - 1}: {ms:.1f}ms, err={err:.2e}, "
+                f"loops={int(engine.state.loop_count)}"
+            )
+        if period:
+            dt = time.perf_counter() - t0
+            if dt < period:
+                time.sleep(period - dt)
+    engine.finalize()
+    wall = time.perf_counter() - t_start
+    sps = len(frames) / wall
+
+    extra = {"scans_per_sec": sps, "wall_sec": wall}
+    import os
+
+    gt_path = os.path.join(args.data_dir, "poses_gt.txt")
+    if os.path.exists(gt_path):
+        from .utils.dataset import load_gt_poses
+        from .utils.metrics import ate_rmse, rpe
+
+        gt = load_gt_poses(gt_path)
+        traj = engine.trajectory()
+        extra["ate_rmse"] = ate_rmse(traj, gt)
+        extra["rpe_trans"], extra["rpe_rot"] = rpe(traj, gt)
+        print(f"ATE RMSE: {extra['ate_rmse']:.3f} m")
+    export.export_all(args.out_dir, engine, extra)
+    print(
+        f"done: {len(frames)} scans in {wall:.1f}s ({sps:.1f} scans/s), "
+        f"loops={int(engine.state.loop_count)} -> {args.out_dir}"
+    )
+    return 0
+
+
+def cmd_convert(args) -> int:
+    import os
+
+    from .utils.io import convert_bin_to_ply, convert_directory
+
+    if args.directory:
+        n = convert_directory(args.input, args.output)
+        print(f"Converted {n} files -> {args.output}")
+    else:
+        n = convert_bin_to_ply(args.input, args.output)
+        print(f"Converted: {args.input} -> {args.output} ({n} points)")
+    return 0
+
+
+def cmd_make_dataset(args) -> int:
+    from .utils.dataset import make_dataset
+
+    make_dataset(
+        args.out, n_frames=args.frames, seed=args.seed,
+        max_points=args.scan_points, fmt=args.format,
+    )
+    print(f"Wrote {args.frames} frames + poses_gt.txt -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lidar_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run SLAM over a frame directory")
+    r.add_argument("--data-dir", required=True)
+    r.add_argument("--out-dir", default="slam_out")
+    r.add_argument("--voxel-size", type=float, default=0.5)
+    r.add_argument("--playback-rate", type=float, default=0.0,
+                   help="Hz throttle; 0 = as fast as possible")
+    r.add_argument("--max-iterations", type=int, default=50)
+    r.add_argument("--tolerance", type=float, default=None,
+                   help="ICP |delta-error| tolerance (default: preset's)")
+    r.add_argument("--grid-resolution", type=float, default=0.2)
+    r.add_argument("--height-min", type=float, default=0.3)
+    r.add_argument("--height-max", type=float, default=2.0)
+    r.add_argument("--max-range", type=float, default=40.0)
+    r.add_argument("--frames", type=int, default=0, help="limit frame count")
+    r.add_argument("--max-points", type=int, default=0)
+    r.add_argument("--lc-points", type=int, default=0,
+                   help="loop-closure DB cloud size (0 = same as max-points)")
+    r.add_argument("--max-raw-points", type=int, default=0)
+    r.add_argument("--max-frames", type=int, default=0)
+    r.add_argument("--knn-backend", choices=["auto", "pallas", "xla"], default="")
+    r.add_argument("--preset", choices=["default", "tiny"], default="default")
+    r.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("convert", help="KITTI .bin -> .ply")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("-d", "--directory", action="store_true")
+    c.set_defaults(fn=cmd_convert)
+
+    m = sub.add_parser("make-dataset", help="generate synthetic loop dataset")
+    m.add_argument("--out", required=True)
+    m.add_argument("--frames", type=int, default=120)
+    m.add_argument("--seed", type=int, default=0)
+    m.add_argument("--scan-points", type=int, default=20000)
+    m.add_argument("--format", choices=["ply", "bin"], default="ply")
+    m.set_defaults(fn=cmd_make_dataset)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

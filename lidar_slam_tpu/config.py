@@ -128,7 +128,8 @@ class SlamConfig:
 
     @property
     def lc_points(self) -> int:
-        return self.lc_cloud_points if self.lc_cloud_points > 0 else self.max_points
+        n = self.lc_cloud_points if self.lc_cloud_points > 0 else self.max_points
+        return min(n, self.max_points)
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
@@ -139,14 +140,22 @@ def tiny_config(**kw) -> SlamConfig:
     base = dict(
         max_raw_points=2048,
         max_points=512,
-        lc_cloud_points=256,
+        lc_cloud_points=512,
         max_frames=64,
         max_loop_factors=16,
         min_points=8,
         loop_start_frame=4,
         loop_check_every=2,
-        icp=ICPConfig(max_iterations=12, normal_k=8),
-        lc=LoopClosureConfig(frame_gap=4, icp_max_iterations=10),
+        # tolerance relaxed: on sparse synthetic clouds the f32 RMS error
+        # oscillates at ~3e-4, so the reference's 1e-6 |delta-error| test
+        # (types.hpp:145) never fires; at KITTI density 1e-6 works as-is.
+        icp=ICPConfig(max_iterations=12, normal_k=8, tolerance=1e-3),
+        # fitness threshold scaled for sparse clouds: plane-RMS at perfect
+        # alignment is ~spacing/2 (~0.5 m on sparse synthetic scans); the
+        # reference's 0.3 default assumes KITTI density (~0.25 m spacing)
+        lc=LoopClosureConfig(
+            frame_gap=4, icp_max_iterations=10, icp_fitness_threshold=0.65
+        ),
         pg=PoseGraphConfig(max_iterations=25, cg_iterations=60),
         grid=OccupancyGridConfig(grid_dim=256),
     )

@@ -99,8 +99,11 @@ def add_frame(
     returns before addFrame).
     """
     enabled = jnp.asarray(enabled)
+    # Descriptor from the FULL downsampled cloud (the reference computes SC on
+    # the whole cloud, loop_closure.hpp:54); only the stored verification
+    # cloud is capacity-subsampled.
+    desc = scan_context(cloud.points, cloud.mask, sc_cfg)
     cl = subsample(cloud, db.clouds.shape[1])
-    desc = scan_context(cl.points, cl.mask, sc_cfg)
     norm = jnp.sqrt(jnp.sum(desc * desc))
     f = frame.astype(jnp.int32)
     return db._replace(

@@ -1,0 +1,399 @@
+"""The end-to-end SLAM pipeline: per-scan step, loop detection, optimization.
+
+Replaces the reference SlamNode orchestrator (slam_node.cpp:11-229). The
+reference is a ROS2 timer loop mutating heap state; here the entire SLAM
+state is one pytree of fixed-shape device arrays and each stage is a
+jit-compiled, donated-buffer function:
+
+- :func:`make_step_fn`        — process_frame (slam_node.cpp:118-175)
+- :func:`make_loop_fn`        — loop detection + factor insertion (:159-167)
+- :func:`make_optimize_fn`    — run_pose_graph_optimization (:177-185)
+- :func:`make_finalize_fn`    — final optimize + occupancy rebuild (:103-108,
+                                196-229)
+
+The host driver (:class:`SlamEngine`) only does file I/O, scheduling (the
+every-10-frames loop cadence, slam_node.cpp:160) and artifact export — every
+FLOP is on device.
+
+Behavioral parity notes (SURVEY.md quirk list):
+- Frame-skip under ``min_points``: pose copied, no odometry factor, no DB
+  entry, no occupancy update (slam_node.cpp:125-130). Unlike the reference —
+  which would crash in GTSAM on the next frame because the skipped index has
+  no initial estimate — the pose chain stays consistent here.
+- ICP divergence (not converged or error > 1.0) falls back to an identity
+  delta but still records the factor with the real fitness
+  (slam_node.cpp:139-145).
+- Mid-run optimization does NOT rebuild the occupancy grid (quirk #7,
+  matching slam_node.cpp:177-185); only finalize does (:207).
+- The pose graph is re-optimized from the raw odometry-chained estimates
+  (GTSAM initial_estimates_ semantics, pose_graph.cpp:159).
+- Consciously fixed: one NN pass per ICP iteration (quirk #1) and per-scan
+  normal caching — the previous frame's normals are reused as the ICP target
+  normals instead of being recomputed inside every ICP call (icp.hpp:166-171).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import se3
+from ..ops.icp import icp_point_to_plane
+from ..ops.normals import estimate_normals
+from ..ops.occupancy import empty_grid, update_occupancy
+from ..ops.voxel import voxel_downsample
+from ..types import PointCloud
+from . import loop_closure as lc
+from . import pose_graph as pg
+
+
+class SlamState(NamedTuple):
+    """Entire SLAM state as one pytree (replaces SlamNode members,
+    slam_node.hpp:141-170)."""
+
+    pg: pg.PoseGraphState         # factors + raw-chained initial estimates
+    poses: jnp.ndarray            # (F, 4, 4) current estimates (poses_)
+    n_poses: jnp.ndarray          # () int32
+    prev: PointCloud              # prev downsampled cloud (prev_points_)
+    prev_normals: jnp.ndarray     # (N, 3) cached normals of prev
+    db: lc.KeyframeDB             # loop-closure DB + per-frame cloud storage
+    grid: jnp.ndarray             # (D, D) uint8 occupancy
+    loop_count: jnp.ndarray       # () int32
+    pending_optimize: jnp.ndarray # () bool — loop accepted since last optimize
+    # per-frame metrics (the reference logs these, slam_node.cpp:169-174)
+    icp_error: jnp.ndarray        # (F,)
+    icp_iters: jnp.ndarray        # (F,) int32
+    icp_converged: jnp.ndarray    # (F,) bool
+    frame_npts: jnp.ndarray       # (F,) int32
+
+
+def _resolve_nn1(config: SlamConfig) -> Optional[Callable]:
+    """Pick the 1-NN backend: Pallas on real TPU, streamed-XLA elsewhere."""
+    backend = config.knn_backend
+    if backend == "xla":
+        return None  # icp default
+    try:
+        from ..ops.knn_pallas import nn1_pallas, pallas_supported
+    except ImportError:
+        return None
+    if backend == "pallas" or (backend == "auto" and pallas_supported()):
+        return lambda s, t, m: nn1_pallas(s, t, m)
+    return None
+
+
+def init_state(config: SlamConfig) -> SlamState:
+    """Blank state: pose 0 = identity with a prior factor (slam_node.cpp:64-66)."""
+    F = config.max_frames
+    return SlamState(
+        pg=pg.init_state(F, config.max_loop_factors),
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (F, 1, 1)),
+        n_poses=jnp.int32(1),
+        prev=PointCloud(
+            jnp.zeros((config.max_points, 3), jnp.float32),
+            jnp.zeros((config.max_points,), bool),
+        ),
+        prev_normals=jnp.zeros((config.max_points, 3), jnp.float32),
+        db=lc.init_db(F, config.lc_points, config.sc),
+        grid=empty_grid(config.grid),
+        loop_count=jnp.int32(0),
+        pending_optimize=jnp.bool_(False),
+        icp_error=jnp.zeros((F,), jnp.float32),
+        icp_iters=jnp.zeros((F,), jnp.int32),
+        icp_converged=jnp.zeros((F,), bool),
+        frame_npts=jnp.zeros((F,), jnp.int32),
+    )
+
+
+def _store_frame_cloud(db: lc.KeyframeDB, cloud: PointCloud, frame) -> lc.KeyframeDB:
+    """Store the downsampled cloud for map building — ALL frames, matching
+    downsampled_clouds_.push_back (slam_node.cpp:123, before the skip guard)."""
+    cl = lc.subsample(cloud, db.clouds.shape[1])
+    f = frame.astype(jnp.int32)
+    return db._replace(
+        clouds=db.clouds.at[f].set(cl.points),
+        cloud_mask=db.cloud_mask.at[f].set(cl.mask),
+    )
+
+
+def make_init_fn(config: SlamConfig):
+    """First-frame initialization (SlamNode ctor, slam_node.cpp:64-81).
+
+    All per-tick functions donate the state pytree: the multi-GB keyframe DB
+    buffers must be updated in place, not copied per frame."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def init_fn(state: SlamState, raw_pts, raw_mask) -> SlamState:
+        curr = voxel_downsample(raw_pts, raw_mask, config.voxel_size, config.max_points)
+        normals = estimate_normals(curr.points, curr.mask, k=config.icp.normal_k)
+        db = _store_frame_cloud(state.db, curr, jnp.int32(0))
+        # frame 0 is NOT added to the loop DB (addFrame only runs in
+        # process_frame, slam_node.cpp:159; ctor doesn't call it)
+        return state._replace(
+            prev=curr,
+            prev_normals=normals,
+            db=db,
+            frame_npts=state.frame_npts.at[0].set(curr.count()),
+        )
+
+    return init_fn
+
+
+def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
+    """Per-scan odometry step (process_frame, slam_node.cpp:118-175).
+
+    ``nn1_fn`` overrides the correspondence-search backend (e.g. the
+    mesh-sharded collective search from parallel/sharded_knn.py)."""
+    if nn1_fn is None:
+        nn1_fn = _resolve_nn1(config)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step_fn(state: SlamState, raw_pts, raw_mask, frame) -> SlamState:
+        frame = frame.astype(jnp.int32)
+        curr = voxel_downsample(raw_pts, raw_mask, config.voxel_size, config.max_points)
+        npts = curr.count()
+        ok = npts >= config.min_points
+
+        res = icp_point_to_plane(
+            curr, state.prev, state.prev_normals, config.icp, nn1_fn=nn1_fn
+        )
+        diverged = jnp.logical_or(
+            jnp.logical_not(res.converged), res.final_error > config.divergence_error
+        )
+        delta = jnp.where(
+            ok & ~diverged, res.transformation, jnp.eye(4, dtype=jnp.float32)
+        )
+
+        prev_pose = state.poses[frame - 1]
+        new_pose = se3.orthonormalize(se3.compose(prev_pose, delta))
+        poses = state.poses.at[frame].set(new_pose)
+
+        pg_state = pg.add_odometry(
+            state.pg, frame, delta, res.final_error, valid=ok
+        )
+
+        world = se3.apply(new_pose, curr.points)
+        grid = update_occupancy(
+            state.grid, world, curr.mask & ok, se3.trans(new_pose)[:2], config.grid
+        )
+
+        normals = estimate_normals(curr.points, curr.mask, k=config.icp.normal_k)
+        db = _store_frame_cloud(state.db, curr, frame)
+        db = lc.add_frame(db, curr, frame, config.sc, enabled=ok)
+
+        return state._replace(
+            pg=pg_state,
+            poses=poses,
+            n_poses=jnp.maximum(state.n_poses, frame + 1),
+            prev=curr,
+            prev_normals=normals,
+            db=db,
+            grid=grid,
+            icp_error=state.icp_error.at[frame].set(res.final_error),
+            icp_iters=state.icp_iters.at[frame].set(res.num_iterations),
+            icp_converged=state.icp_converged.at[frame].set(res.converged),
+            frame_npts=state.frame_npts.at[frame].set(npts),
+        )
+
+    return step_fn
+
+
+def make_loop_fn(config: SlamConfig):
+    """Loop detection + factor insertion (slam_node.cpp:159-167)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def loop_fn(state: SlamState):
+        det = lc.detect(state.db, config.lc, config.sc)
+
+        def add_one(k, pg_state):
+            return pg.add_loop(
+                pg_state,
+                det.match_frame[k],
+                det.query_frame,
+                det.transform[k],
+                valid=det.accepted[k],
+            )
+
+        pg_state = jax.lax.fori_loop(
+            0, config.lc.max_candidates, add_one, state.pg
+        )
+        n_found = jnp.sum(det.accepted.astype(jnp.int32))
+        state = state._replace(
+            pg=pg_state,
+            loop_count=state.loop_count + n_found,
+            pending_optimize=jnp.logical_or(state.pending_optimize, n_found > 0),
+        )
+        return state, det
+
+    return loop_fn
+
+
+def make_optimize_fn(config: SlamConfig):
+    """Pose-graph optimization (run_pose_graph_optimization, slam_node.cpp:177-185).
+
+    The grid is intentionally NOT rebuilt here (reference quirk #7)."""
+
+    def optimize_body(state: SlamState):
+        res = pg.optimize(state.pg, config.pg)
+        idx = jnp.arange(state.poses.shape[0])
+        poses = jnp.where(
+            (idx < state.n_poses)[:, None, None], res.poses, state.poses
+        )
+        state = state._replace(poses=poses, pending_optimize=jnp.bool_(False))
+        return state, res
+
+    return functools.partial(jax.jit, donate_argnums=0)(optimize_body)
+
+
+def make_finalize_fn(config: SlamConfig):
+    """End-of-run: final optimize + full occupancy rebuild
+    (slam_node.cpp:103-108, build_final_global_map :196-209,
+    rebuild_occupancy_grid :223-229)."""
+
+    def optimize_body(state: SlamState):
+        res = pg.optimize(state.pg, config.pg)
+        idx = jnp.arange(state.poses.shape[0])
+        poses = jnp.where(
+            (idx < state.n_poses)[:, None, None], res.poses, state.poses
+        )
+        return state._replace(poses=poses, pending_optimize=jnp.bool_(False)), res
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def finalize_fn(state: SlamState):
+        state, res = optimize_body(state)
+
+        def body(f, grid):
+            pose = state.poses[f]
+            world = se3.apply(pose, state.db.clouds[f])
+            m = state.db.cloud_mask[f] & (f < state.n_poses)
+            return update_occupancy(grid, world, m, se3.trans(pose)[:2], config.grid)
+
+        grid = jax.lax.fori_loop(
+            0, state.poses.shape[0], body, jnp.zeros_like(state.grid)
+        )
+        return state._replace(grid=grid), res
+
+    return finalize_fn
+
+
+class FrameInfo(NamedTuple):
+    """Host-side per-frame log record (mirrors slam_node.cpp:169-174)."""
+
+    frame: int
+    ms: float
+    error: float
+    iterations: int
+    converged: bool
+    npts: int
+    loops_total: int
+
+
+class SlamEngine:
+    """Host driver: feeds scans to the jitted pipeline and exports artifacts.
+
+    Replaces the ROS2 node + timer + publishers (slam_node.cpp:83-116,
+    231-297) with a plain Python loop; "topics" become savable artifacts
+    (utils/export.py).
+    """
+
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        self._init_fn = make_init_fn(config)
+        self._step_fn = make_step_fn(config)
+        self._loop_fn = make_loop_fn(config)
+        self._optimize_fn = make_optimize_fn(config)
+        self._finalize_fn = make_finalize_fn(config)
+        self.state = init_state(config)
+        self._frame = 0
+
+    # -- scan feeding ------------------------------------------------------
+
+    def pad_scan(self, pts: np.ndarray):
+        cap = self.config.max_raw_points
+        n = min(len(pts), cap)
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = pts[:n]
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        return jnp.asarray(out), jnp.asarray(mask)
+
+    def push_scan(self, pts: np.ndarray) -> Optional[dict]:
+        """Process one raw scan (host entry point). Returns loop info when a
+        detection pass ran."""
+        raw, mask = self.pad_scan(pts)
+        info = None
+        if self._frame == 0:
+            self.state = self._init_fn(self.state, raw, mask)
+        else:
+            self.state = self._step_fn(
+                self.state, raw, mask, jnp.int32(self._frame)
+            )
+            cfg = self.config
+            if (
+                self._frame % cfg.loop_check_every == 0
+                and self._frame > cfg.loop_start_frame
+            ):
+                self.state, det = self._loop_fn(self.state)
+                n_found = int(jnp.sum(det.accepted.astype(jnp.int32)))
+                if n_found:
+                    info = {
+                        "found": n_found,
+                        "query": int(det.query_frame),
+                        "matches": np.asarray(det.match_frame)[
+                            np.asarray(det.accepted)
+                        ].tolist(),
+                    }
+                    # optimize immediately, as the node does (slam_node.cpp:112-115)
+                    self.state, _ = self._optimize_fn(self.state)
+        self._frame += 1
+        return info
+
+    def finalize(self):
+        self.state, res = self._finalize_fn(self.state)
+        return res
+
+    # -- results -----------------------------------------------------------
+
+    @property
+    def n_frames(self) -> int:
+        return self._frame
+
+    def trajectory(self) -> np.ndarray:
+        """(n, 4, 4) pose array."""
+        n = int(self.state.n_poses)
+        return np.asarray(self.state.poses[:n])
+
+    def metrics(self) -> dict:
+        n = int(self.state.n_poses)
+        return {
+            "icp_error": np.asarray(self.state.icp_error[:n]),
+            "icp_iters": np.asarray(self.state.icp_iters[:n]),
+            "icp_converged": np.asarray(self.state.icp_converged[:n]),
+            "frame_npts": np.asarray(self.state.frame_npts[:n]),
+            "loop_count": int(self.state.loop_count),
+        }
+
+    def global_map(self, max_points_per_frame: Optional[int] = None) -> np.ndarray:
+        """Assemble the world-frame map from stored clouds + poses
+        (build_final_global_map, slam_node.cpp:196-209). Host-side, chunked."""
+        n = int(self.state.n_poses)
+        poses = self.trajectory()
+        out = []
+        clouds = self.state.db.clouds
+        masks = self.state.db.cloud_mask
+        for f in range(n):
+            c = np.asarray(clouds[f])
+            m = np.asarray(masks[f])
+            pts = c[m]
+            if max_points_per_frame and len(pts) > max_points_per_frame:
+                pts = pts[:: len(pts) // max_points_per_frame + 1]
+            R, t = poses[f][:3, :3], poses[f][:3, 3]
+            out.append(pts @ R.T + t)
+        return np.concatenate(out, axis=0) if out else np.zeros((0, 3), np.float32)
+
+    def occupancy(self) -> np.ndarray:
+        return np.asarray(self.state.grid)

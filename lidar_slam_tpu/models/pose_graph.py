@@ -60,16 +60,21 @@ class PoseGraphState(NamedTuple):
 
 
 def init_state(max_frames: int, max_loops: int) -> PoseGraphState:
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (max_frames, 4, 4))
+    # NOTE: each leaf gets its OWN buffer (tile, not broadcast_to) — the
+    # pipeline donates the state pytree, and XLA rejects donating one buffer
+    # aliased into two arguments.
+    def eyes(n):
+        return jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n, 1, 1))
+
     return PoseGraphState(
-        poses=eye,
+        poses=eyes(max_frames),
         n_poses=jnp.int32(1),  # pose 0 = identity + prior (slam_node.cpp:64-66)
-        odom_rel=eye,
+        odom_rel=eyes(max_frames),
         odom_valid=jnp.zeros((max_frames,), bool),
         odom_scale=jnp.ones((max_frames,), jnp.float32),
         loop_from=jnp.zeros((max_loops,), jnp.int32),
         loop_to=jnp.zeros((max_loops,), jnp.int32),
-        loop_rel=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (max_loops, 4, 4)),
+        loop_rel=eyes(max_loops),
         loop_valid=jnp.zeros((max_loops,), bool),
         n_loops=jnp.int32(0),
     )

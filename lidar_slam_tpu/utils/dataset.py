@@ -1,0 +1,181 @@
+"""Synthetic LiDAR dataset generator.
+
+The reference validates on KITTI seq 00 and an Ouster OS1-64 recording
+(README.md:259-261) — neither shippable in a repo. This module generates a
+deterministic "city block" world (ground plane + building walls + poles) and
+simulates scans along a closed-loop trajectory, so CI and benchmarks run
+without downloads and ATE can be measured against exact ground truth
+(SURVEY.md §4 test strategy).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .io import save_ply
+
+
+def generate_world(
+    seed: int = 0,
+    route_half: float = 25.0,
+    n_buildings: int = 24,
+    ground_step: float = 0.35,
+) -> np.ndarray:
+    """Static world point cloud: ground + axis-aligned building walls + poles.
+
+    Buildings are kept off an 8 m-wide corridor around the square route at
+    ``|max(|x|,|y|)| = route_half`` so the vehicle never drives through one.
+    """
+    rng = np.random.default_rng(seed)
+    extent = route_half * 2.2 + 15.0
+    pts = []
+
+    # ground plane with mild height noise
+    g = np.arange(-extent, extent, ground_step)
+    gx, gy = np.meshgrid(g, g)
+    ground = np.stack(
+        [gx.ravel(), gy.ravel(), rng.normal(0, 0.02, gx.size)], axis=1
+    )
+    pts.append(ground)
+
+    # buildings: boxes with 4 wall faces, placed away from the circular route
+    for _ in range(n_buildings):
+        cx, cy = rng.uniform(-extent * 0.9, extent * 0.9, 2)
+        # keep the route corridor (annulus around radius route_half) clear
+        ring = float(np.hypot(cx, cy))
+        if route_half - 7 < ring < route_half + 7:
+            scale = (route_half + 9) / max(ring, 1e-3)
+            if rng.uniform() < 0.5:
+                scale = max((route_half - 9), 1.0) / max(ring, 1e-3)
+            cx *= scale
+            cy *= scale
+        w, d = rng.uniform(4, 12, 2)
+        h = rng.uniform(4, 10)
+        density = 3.0  # pts / m^2
+        for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            if axis == 0:  # wall at x = cx +/- w/2, spanning y
+                area = d * h
+                n = max(int(area * density), 8)
+                y = rng.uniform(cy - d / 2, cy + d / 2, n)
+                z = rng.uniform(0, h, n)
+                x = np.full(n, cx + sign * w / 2)
+            else:
+                area = w * h
+                n = max(int(area * density), 8)
+                x = rng.uniform(cx - w / 2, cx + w / 2, n)
+                z = rng.uniform(0, h, n)
+                y = np.full(n, cy + sign * d / 2)
+            pts.append(np.stack([x, y, z], axis=1))
+
+    # poles / trees near the route for mid-range structure
+    for _ in range(60):
+        px, py = rng.uniform(-extent, extent, 2)
+        n = 30
+        z = rng.uniform(0, 4, n)
+        ang = rng.uniform(0, 2 * np.pi, n)
+        r = 0.2
+        pts.append(
+            np.stack([px + r * np.cos(ang), py + r * np.sin(ang), z], axis=1)
+        )
+
+    return np.concatenate(pts, axis=0).astype(np.float32)
+
+
+def _overlap_for(n_frames: int) -> int:
+    return max(n_frames // 8, 4)
+
+
+def route_half_for(n_frames: int, step: float = 1.2) -> float:
+    """Route radius such that the loop closes within ``n_frames`` at a
+    KITTI-like ~1.2 m/frame step."""
+    laps = max(n_frames - _overlap_for(n_frames), 4)
+    return max(laps * step / (2.0 * np.pi), 6.0)
+
+
+def generate_trajectory(n_frames: int, half: float | None = None, height: float = 1.8):
+    """Closed circular route, yaw following the direction of travel.
+
+    The final ``n/8`` frames re-drive the start of the circle (a true
+    revisit, like KITTI seq 00 re-entering the same street) so loop closure
+    is observable — Scan Context is yaw-invariant but NOT translation
+    invariant, so near-coincident revisit poses are required. Per-frame step
+    ~1.2 m and a gentle constant yaw rate (identity-init ICP must track the
+    motion, as in the reference; sharp corners would break it).
+    """
+    if half is None:
+        half = route_half_for(n_frames)
+    overlap = _overlap_for(n_frames)
+    ang = 2.0 * np.pi * np.arange(n_frames) / max(n_frames - overlap, 4)
+    xy = np.stack([half * np.cos(ang), half * np.sin(ang)], axis=1)
+    yaw = ang + np.pi / 2.0  # tangent direction (counter-clockwise)
+
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    for i in range(n_frames):
+        c, s = np.cos(yaw[i]), np.sin(yaw[i])
+        poses[i] = np.eye(4)
+        poses[i][:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        poses[i][:3, 3] = [xy[i, 0], xy[i, 1], height]
+    return poses
+
+
+def render_scan(
+    world: np.ndarray,
+    pose: np.ndarray,
+    rng: np.random.Generator,
+    max_range: float = 50.0,
+    max_points: int = 20000,
+    noise: float = 0.02,
+) -> np.ndarray:
+    """Simulate one scan: world points in range, in sensor frame, with noise."""
+    R, t = pose[:3, :3], pose[:3, 3]
+    local = (world - t) @ R  # R^T (world - t)
+    r = np.linalg.norm(local[:, :2], axis=1)
+    keep = (r < max_range) & (r > 1.0)
+    local = local[keep]
+    if len(local) > max_points:
+        sel = rng.choice(len(local), max_points, replace=False)
+        local = local[sel]
+    return (local + rng.normal(0, noise, local.shape)).astype(np.float32)
+
+
+def make_dataset(
+    out_dir: str,
+    n_frames: int = 120,
+    seed: int = 0,
+    max_points: int = 20000,
+    fmt: str = "ply",
+) -> Tuple[str, np.ndarray]:
+    """Write a synthetic dataset: frames as 00000N.ply/.bin + poses_gt.txt
+    (KITTI 12-number rows). Returns (out_dir, gt_poses)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    half = route_half_for(n_frames)
+    world = generate_world(seed, route_half=half)
+    poses = generate_trajectory(n_frames, half=half)
+    for i in range(n_frames):
+        scan = render_scan(world, poses[i], rng, max_points=max_points)
+        if fmt == "bin":
+            data = np.concatenate(
+                [scan, np.zeros((len(scan), 1), np.float32)], axis=1
+            )
+            data.tofile(os.path.join(out_dir, f"{i:06d}.bin"))
+        else:
+            save_ply(os.path.join(out_dir, f"{i:06d}.ply"), scan)
+    np.savetxt(
+        os.path.join(out_dir, "poses_gt.txt"),
+        poses[:, :3, :].reshape(n_frames, 12),
+        fmt="%.6f",
+    )
+    return out_dir, poses
+
+
+def load_gt_poses(path: str) -> np.ndarray:
+    """Read KITTI-format 12-number pose rows -> (n, 4, 4)."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    n = len(rows)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, :3, :] = rows
+    return poses

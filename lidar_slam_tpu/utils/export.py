@@ -1,0 +1,93 @@
+"""Artifact export — the TPU-native replacement for the reference's RViz
+topics (README.md:193-199: current scan, global map, trajectory, pose,
+occupancy grid) and TF broadcasts. Each topic becomes a savable file."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..config import OccupancyGridConfig
+from ..ops.occupancy import grid_to_message
+from .io import save_ply
+
+
+def save_trajectory_kitti(path: str, poses: np.ndarray) -> None:
+    """KITTI odometry format: 12 numbers (3x4) per row."""
+    np.savetxt(path, poses[:, :3, :].reshape(len(poses), 12), fmt="%.6f")
+
+
+def save_trajectory_tum(path: str, poses: np.ndarray) -> None:
+    """TUM format: t x y z qx qy qz qw (replaces the PoseStamped/TF publish,
+    slam_node.cpp:257-273)."""
+    from scipy.spatial.transform import Rotation
+
+    with open(path, "w") as f:
+        for i, T in enumerate(poses):
+            q = Rotation.from_matrix(T[:3, :3]).as_quat()  # x y z w
+            t = T[:3, 3]
+            f.write(
+                f"{i} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+            )
+
+
+def save_map(path: str, pts: np.ndarray) -> None:
+    """Global map as binary PLY (replaces /slam/global_map)."""
+    save_ply(path, pts)
+
+
+def save_occupancy(path: str, grid: np.ndarray, config: OccupancyGridConfig) -> None:
+    """Occupancy as .npz (cropped message form) + .pgm preview
+    (replaces /slam/occupancy_grid, slam_node.cpp:279-297)."""
+    msg = grid_to_message(grid, config)
+    np.savez_compressed(
+        path,
+        data=msg["data"],
+        resolution=msg["resolution"],
+        origin_x=msg["origin_x"],
+        origin_y=msg["origin_y"],
+    )
+    pgm = path[:-4] if path.endswith(".npz") else path
+    data = msg["data"]
+    if data.size:
+        img = np.where(data > 0, 0, 255).astype(np.uint8)  # occupied = black
+        with open(pgm + ".pgm", "wb") as f:
+            f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+            f.write(img.tobytes())
+
+
+def save_metrics_jsonl(path: str, metrics: dict, extra: dict | None = None) -> None:
+    """Per-frame metrics log (replaces RCLCPP_INFO stats, slam_node.cpp:169-174)."""
+    n = len(metrics["icp_error"])
+    with open(path, "w") as f:
+        for i in range(n):
+            rec = {
+                "frame": i,
+                "icp_error": float(metrics["icp_error"][i]),
+                "icp_iters": int(metrics["icp_iters"][i]),
+                "icp_converged": bool(metrics["icp_converged"][i]),
+                "npts": int(metrics["frame_npts"][i]),
+            }
+            f.write(json.dumps(rec) + "\n")
+        summary = {"summary": True, "loop_count": metrics["loop_count"]}
+        if extra:
+            summary.update(extra)
+        f.write(json.dumps(summary) + "\n")
+
+
+def export_all(out_dir: str, engine, extra: dict | None = None) -> dict:
+    """Dump every artifact the reference publishes, plus metrics."""
+    os.makedirs(out_dir, exist_ok=True)
+    traj = engine.trajectory()
+    save_trajectory_kitti(os.path.join(out_dir, "trajectory.txt"), traj)
+    save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"), traj)
+    save_map(os.path.join(out_dir, "map.ply"), engine.global_map())
+    save_occupancy(
+        os.path.join(out_dir, "occupancy.npz"), engine.occupancy(), engine.config.grid
+    )
+    m = engine.metrics()
+    save_metrics_jsonl(os.path.join(out_dir, "metrics.jsonl"), m, extra)
+    return m

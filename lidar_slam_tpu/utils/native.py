@@ -1,0 +1,141 @@
+"""ctypes bindings for the native C++ data-loading runtime (native/ply_io.cpp).
+
+Builds lazily via the Makefile on first use (g++ is in the image); every
+entry point degrades gracefully to the NumPy implementations in utils/io.py
+when the toolchain or library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblidar_native.so"))
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LIDAR_SLAM_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.lidar_load_ply.restype = ctypes.c_long
+        lib.lidar_load_ply.argtypes = [ctypes.c_char_p, fp, ctypes.c_long]
+        lib.lidar_load_bin.restype = ctypes.c_long
+        lib.lidar_load_bin.argtypes = [ctypes.c_char_p, fp, ctypes.c_long]
+        lib.lidar_write_ply.restype = ctypes.c_int
+        lib.lidar_write_ply.argtypes = [ctypes.c_char_p, fp, ctypes.c_long, fp]
+        lib.lidar_prefetch_create.restype = ctypes.c_void_p
+        lib.lidar_prefetch_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.lidar_prefetch_get.restype = ctypes.c_long
+        lib.lidar_prefetch_get.argtypes = [ctypes.c_void_p, ctypes.c_long, fp]
+        lib.lidar_prefetch_destroy.restype = None
+        lib.lidar_prefetch_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def load_scan_native(path: str, cap: int = 1 << 18) -> Optional[np.ndarray]:
+    """Load a .ply/.bin scan via the native parser; None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((cap, 3), np.float32)
+    fn = lib.lidar_load_bin if path.endswith(".bin") else lib.lidar_load_ply
+    n = fn(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
+class FrameLoader:
+    """Asynchronous readahead frame loader over the native prefetcher.
+
+    Overlaps disk I/O + parsing with device compute — the reference loads
+    each frame synchronously inside its timer callback (slam_node.cpp:121),
+    stalling the pipeline on disk. Falls back to synchronous NumPy loading.
+    """
+
+    def __init__(self, paths: List[str], cap: int = 1 << 18, window: int = 8,
+                 threads: int = 2):
+        self.paths = paths
+        self.cap = cap
+        self._handle = None
+        self._lib = get_lib()
+        if self._lib is not None and paths:
+            arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+            self._handle = self._lib.lidar_prefetch_create(
+                arr, len(paths), cap, window, threads
+            )
+
+    def get(self, frame: int) -> np.ndarray:
+        if self._handle is not None:
+            out = np.empty((self.cap, 3), np.float32)
+            n = self._lib.lidar_prefetch_get(
+                self._handle,
+                frame,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if n >= 0:
+                return out[:n]
+        from .io import load_scan
+
+        return load_scan(self.paths[frame])
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.lidar_prefetch_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()

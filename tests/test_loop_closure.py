@@ -1,0 +1,102 @@
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_slam_tpu.config import LoopClosureConfig, ScanContextConfig
+from lidar_slam_tpu.models import loop_closure as lc
+from lidar_slam_tpu.ops import se3
+from lidar_slam_tpu.types import PointCloud
+from lidar_slam_tpu.utils.dataset import generate_world, render_scan
+
+
+def make_scene_scans(rng):
+    """Scans at poses 0..n from a synthetic world; last pose revisits pose 1."""
+    world = generate_world(0, route_half=8.0)
+    poses = []
+    for i in range(10):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [i * 1.5, 0, 1.8]
+        poses.append(T)
+    # pose 10 revisits pose 1's location (with a yaw)
+    T = np.eye(4, dtype=np.float32)
+    c, s = np.cos(0.2), np.sin(0.2)
+    T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    T[:3, 3] = poses[1][:3, 3]
+    poses.append(T)
+    scans = [
+        render_scan(world, p, rng, max_range=25.0, max_points=2000) for p in poses
+    ]
+    return poses, scans
+
+
+def to_pc(scan, cap=2048):
+    return PointCloud.from_numpy(scan, cap)
+
+
+def test_detect_finds_revisit(rng):
+    poses, scans = make_scene_scans(rng)
+    sc_cfg = ScanContextConfig()
+    # thresholds scaled for sparse 2000-pt test scans: plane-RMS fitness on
+    # sparse clouds sits ~0.4 even for perfect alignment (KITTI-density scans
+    # reach the reference's 0.3 threshold; see test_pipeline loop test)
+    cfg = LoopClosureConfig(frame_gap=5, sc_distance_threshold=0.35,
+                            icp_fitness_threshold=0.6, icp_max_iterations=15)
+    db = lc.init_db(16, 2048, sc_cfg)
+    for f, scan in enumerate(scans):
+        db = lc.add_frame(db, to_pc(scan), jnp.int32(f), sc_cfg)
+    det = lc.detect(db, cfg, sc_cfg)
+    acc = np.asarray(det.accepted)
+    assert acc.any(), (np.asarray(det.sc_distance), np.asarray(det.icp_fitness))
+    best = np.argmax(acc)
+    match = int(det.match_frame[best])
+    assert match in (0, 1, 2), match
+    # transform maps query frame into match frame: compare to gt relative pose
+    T_true = np.linalg.inv(poses[match]) @ poses[10]
+    T_est = np.asarray(det.transform[best])
+    err = np.asarray(se3.log(jnp.asarray(T_est @ np.linalg.inv(T_true), jnp.float32)))
+    assert np.abs(err[:3]).max() < 0.05, err
+    assert np.abs(err[3:]).max() < 0.5, err
+
+
+def test_frame_gap_blocks_neighbors(rng):
+    poses, scans = make_scene_scans(rng)
+    sc_cfg = ScanContextConfig()
+    cfg = LoopClosureConfig(frame_gap=50)  # larger than the whole run
+    db = lc.init_db(16, 2048, sc_cfg)
+    for f, scan in enumerate(scans):
+        db = lc.add_frame(db, to_pc(scan), jnp.int32(f), sc_cfg)
+    det = lc.detect(db, cfg, sc_cfg)
+    assert not np.asarray(det.accepted).any()
+
+
+def test_empty_db_no_detection():
+    sc_cfg = ScanContextConfig()
+    db = lc.init_db(8, 128, sc_cfg)
+    det = lc.detect(db, LoopClosureConfig(), sc_cfg)
+    assert not np.asarray(det.accepted).any()
+
+
+def test_skipped_frames_not_added(rng):
+    sc_cfg = ScanContextConfig()
+    db = lc.init_db(8, 128, sc_cfg)
+    pc = to_pc(rng.normal(size=(100, 3)).astype(np.float32) * 10, 128)
+    db = lc.add_frame(db, pc, jnp.int32(3), sc_cfg, enabled=False)
+    assert not bool(db.in_db[3])
+    assert int(db.last_frame) == -1
+    db = lc.add_frame(db, pc, jnp.int32(4), sc_cfg, enabled=True)
+    assert bool(db.in_db[4])
+    assert int(db.last_frame) == 4
+
+
+def test_subsample_strided(rng):
+    pts = np.zeros((128, 3), np.float32)
+    pts[:100] = rng.normal(size=(100, 3))
+    mask = np.zeros(128, bool)
+    mask[:100] = True
+    pc = PointCloud(jnp.asarray(pts), jnp.asarray(mask))
+    out = lc.subsample(pc, 32)
+    assert out.points.shape == (32, 3)
+    assert int(out.count()) == 32
+    # strided over the valid prefix, not a prefix slice
+    idx0 = np.asarray(out.points[0])
+    np.testing.assert_allclose(idx0, pts[0])
+    assert not np.allclose(np.asarray(out.points[31]), pts[31])

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests on a small in-memory synthetic sequence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_slam_tpu.config import tiny_config
+from lidar_slam_tpu.models.pipeline import SlamEngine, init_state, make_init_fn, make_step_fn
+from lidar_slam_tpu.utils.dataset import (
+    generate_trajectory,
+    generate_world,
+    render_scan,
+    route_half_for,
+)
+from lidar_slam_tpu.utils.metrics import ate_rmse, rpe
+
+
+@pytest.fixture(scope="module")
+def small_run():
+    """24-frame odometry-only segment (no loop)."""
+    n = 24
+    half = route_half_for(60)  # gentle curvature
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(60, half=half)[:n]
+    rng = np.random.default_rng(0)
+    scans = [render_scan(world, gt[i], rng, max_range=30.0, max_points=2000)
+             for i in range(n)]
+    cfg = tiny_config(max_raw_points=2048, max_points=2048, lc_cloud_points=1024,
+                      max_frames=32)
+    eng = SlamEngine(cfg)
+    for s in scans:
+        eng.push_scan(s)
+    return eng, gt
+
+
+def test_odometry_tracks_ground_truth(small_run):
+    eng, gt = small_run
+    traj = eng.trajectory()
+    assert traj.shape == (24, 4, 4)
+    ate = ate_rmse(traj, gt)
+    assert ate < 1.0, ate
+    t_err, r_err = rpe(traj, gt)
+    assert t_err < 0.2, t_err
+    assert r_err < 0.05, r_err
+
+
+def test_metrics_recorded(small_run):
+    eng, _ = small_run
+    m = eng.metrics()
+    assert len(m["icp_error"]) == 24
+    assert m["icp_converged"][1:].mean() > 0.8
+    assert (m["frame_npts"][1:] > 100).all()
+
+
+def test_occupancy_and_map(small_run):
+    eng, _ = small_run
+    grid = eng.occupancy()
+    assert grid.sum() > 50  # occupied cells exist
+    mp = eng.global_map()
+    assert mp.shape[0] > 5000
+    assert np.isfinite(mp).all()
+
+
+def test_frame_skip_path():
+    """A scan below min_points copies the pose and adds no factor
+    (slam_node.cpp:125-130)."""
+    cfg = tiny_config(max_raw_points=2048, max_points=512, min_points=50,
+                      max_frames=16)
+    eng = SlamEngine(cfg)
+    rng = np.random.default_rng(1)
+    full = rng.normal(size=(800, 3)).astype(np.float32) * 10
+    eng.push_scan(full)
+    eng.push_scan(full + 0.1)
+    eng.push_scan(full[:5])  # frame 2: skipped
+    assert not bool(eng.state.pg.odom_valid[2])
+    np.testing.assert_allclose(
+        np.asarray(eng.state.poses[2]), np.asarray(eng.state.poses[1]), atol=1e-6
+    )
+    assert not bool(eng.state.db.in_db[2])
+    # pipeline continues cleanly after the gap (the reference would crash in
+    # GTSAM here — missing initial estimate)
+    eng.push_scan(full + 0.2)
+    assert bool(eng.state.pg.odom_valid[3])
+
+
+def test_divergence_fallback():
+    """Non-overlapping clouds -> identity delta but factor recorded with the
+    real fitness (slam_node.cpp:139-145)."""
+    cfg = tiny_config(max_raw_points=1024, max_points=256, min_points=8,
+                      max_frames=8)
+    eng = SlamEngine(cfg)
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(300, 3)).astype(np.float32) * 5
+    # disjoint but within the voxel-key packing range (+-255 m at 0.5 m voxel)
+    b = rng.normal(size=(300, 3)).astype(np.float32) * 5 + 150.0
+    eng.push_scan(a)
+    eng.push_scan(b)
+    np.testing.assert_allclose(
+        np.asarray(eng.state.poses[1]), np.eye(4), atol=1e-5
+    )
+    assert bool(eng.state.pg.odom_valid[1])
+    assert float(eng.state.icp_error[1]) > 1.0
+
+
+def test_init_state_shapes():
+    cfg = tiny_config()
+    st = init_state(cfg)
+    assert st.poses.shape == (cfg.max_frames, 4, 4)
+    assert st.db.clouds.shape == (cfg.max_frames, cfg.lc_points, 3)
+    assert int(st.n_poses) == 1
