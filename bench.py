@@ -66,18 +66,37 @@ def main() -> int:
         max_points=ds_pts,
         lc_cloud_points=lc_pts,
         max_frames=frames + 8,
+        host_voxelize=True,
     )
     log(
         f"config: raw_cap={raw_cap} ds={ds_pts} lc={lc_pts} "
-        f"backend={cfg.knn_backend}"
+        f"backend={cfg.knn_backend} host_voxelize={cfg.host_voxelize}"
     )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lidar_slam_tpu.utils.native import voxel_downsample_host
 
     def run() -> SlamEngine:
         eng = SlamEngine(cfg)
-        for s in scans:
-            info = eng.push_scan(s)
-            if info:
-                log(f"loop: {info}")
+        # host voxelization pipelined 8 frames ahead of device compute (the
+        # production FrameLoader does the same inside its C++ workers)
+        with ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(voxel_downsample_host, s, cfg.voxel_size, ds_pts)
+                for s in scans[:8]
+            ]
+            for i, _ in enumerate(scans):
+                if i + 8 < len(scans):
+                    futs.append(
+                        pool.submit(
+                            voxel_downsample_host, scans[i + 8],
+                            cfg.voxel_size, ds_pts,
+                        )
+                    )
+                info = eng.push_scan(futs[i].result())
+                if info:
+                    log(f"loop: {info}")
         eng.finalize()
         import jax
 

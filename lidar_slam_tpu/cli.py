@@ -84,6 +84,9 @@ def cmd_run(args) -> int:
     cfg = _build_config(args)
     if cfg.max_frames < len(frames):
         cfg = cfg.replace(max_frames=len(frames) + 8)
+    if not args.no_host_voxelize:
+        # voxelize in the loader workers — off the device critical path
+        cfg = cfg.replace(host_voxelize=True)
     if not args.max_raw_points:
         # auto-size the raw capacity from the first frame (truncation would
         # spatially bias the scan — render/driver order is not shuffled)
@@ -100,9 +103,15 @@ def cmd_run(args) -> int:
     )
 
     period = 1.0 / args.playback_rate if args.playback_rate > 0 else 0.0
-    loader = FrameLoader(
-        [p for _, p in frames], cap=cfg.max_raw_points, window=8, threads=2
-    )
+    if cfg.host_voxelize:
+        loader = FrameLoader(
+            [p for _, p in frames], cap=cfg.max_points, window=8, threads=3,
+            voxel=cfg.voxel_size, raw_cap=cfg.max_raw_points,
+        )
+    else:
+        loader = FrameLoader(
+            [p for _, p in frames], cap=cfg.max_raw_points, window=8, threads=2
+        )
     t_start = time.perf_counter()
     for i, (_, path) in enumerate(frames):
         t0 = time.perf_counter()
@@ -197,6 +206,8 @@ def main(argv=None) -> int:
     r.add_argument("--knn-backend", choices=["auto", "pallas", "xla"], default="")
     r.add_argument("--preset", choices=["default", "tiny"], default="default")
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    r.add_argument("--no-host-voxelize", action="store_true",
+                   help="voxelize on device instead of in the loader workers")
     r.set_defaults(fn=cmd_run)
 
     c = sub.add_parser("convert", help="KITTI .bin -> .ply")

@@ -29,6 +29,11 @@ class ICPConfig:
     min_error: float = 1e-9        # stop if RMS plane error falls below this
     normal_k: int = 20             # kNN size for normal estimation (icp.hpp:26)
     solver_damping: float = 1e-9   # Tikhonov term on the 6x6 normal equations (f32 safety)
+    # 0 = register every source point (reference behavior); >0 = strided
+    # source subsample for the correspondence search/solve — 6-DoF needs only
+    # a few thousand constraints, and the per-iteration 1-NN cost is linear
+    # in source size. Error/fitness is then computed over the subsample.
+    sample_points: int = 0
 
 
 @dataclass(frozen=True)
@@ -125,6 +130,21 @@ class SlamConfig:
     grid: OccupancyGridConfig = OccupancyGridConfig()
 
     knn_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
+
+    # Host-side voxelization: scans arrive already downsampled (the native
+    # prefetch worker voxelizes off the critical path, overlapped with device
+    # compute — the device sort-based voxel op is skipped entirely).
+    host_voxelize: bool = False
+
+    # Normal estimation: 'radius' = TPU-native metric-ball moment
+    # accumulation (pure MXU, no sort); 'knn' = reference-style k=20 PCA
+    # (icp.hpp:23-67). Radius 0 = auto (2.4 * voxel_size).
+    normal_method: str = "radius"
+    normal_radius: float = 0.0
+
+    @property
+    def effective_normal_radius(self) -> float:
+        return self.normal_radius if self.normal_radius > 0 else 2.4 * self.voxel_size
 
     @property
     def lc_points(self) -> int:

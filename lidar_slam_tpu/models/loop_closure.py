@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..config import ICPConfig, LoopClosureConfig, ScanContextConfig
 from ..ops import se3
 from ..ops.icp import icp_point_to_plane
-from ..ops.normals import estimate_normals
+from ..ops.normals import estimate_normals, estimate_normals_radius
 from ..ops.scan_context import sc_distances, scan_context, shift_to_yaw
 from ..types import PointCloud
 
@@ -129,11 +129,12 @@ class LoopDetections(NamedTuple):
     icp_fitness: jnp.ndarray  # (K,)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg", "normal_radius"))
 def detect(
     db: KeyframeDB,
     cfg: LoopClosureConfig = LoopClosureConfig(),
     sc_cfg: ScanContextConfig = ScanContextConfig(),
+    normal_radius: float = 0.0,
 ) -> LoopDetections:
     """detect() for the most recently added frame (loop_closure.hpp:66-126)."""
     F = db.desc.shape[0]
@@ -173,7 +174,12 @@ def detect(
 
     def verify(ci, T0):
         tgt = PointCloud(db.clouds[ci], db.cloud_mask[ci])
-        tgt_normals = estimate_normals(tgt.points, tgt.mask, k=icp_cfg.normal_k)
+        if normal_radius > 0:
+            tgt_normals = estimate_normals_radius(
+                tgt.points, tgt.mask, radius=normal_radius
+            )
+        else:
+            tgt_normals = estimate_normals(tgt.points, tgt.mask, k=icp_cfg.normal_k)
         res = icp_point_to_plane(query_cloud, tgt, tgt_normals, icp_cfg, T0)
         return res.transformation, res.converged, res.final_error
 

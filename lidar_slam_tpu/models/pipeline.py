@@ -44,7 +44,7 @@ import numpy as np
 from ..config import SlamConfig
 from ..ops import se3
 from ..ops.icp import icp_point_to_plane
-from ..ops.normals import estimate_normals
+from ..ops.normals import estimate_normals, estimate_normals_radius
 from ..ops.occupancy import empty_grid, update_occupancy
 from ..ops.voxel import voxel_downsample
 from ..types import PointCloud
@@ -70,6 +70,44 @@ class SlamState(NamedTuple):
     icp_iters: jnp.ndarray        # (F,) int32
     icp_converged: jnp.ndarray    # (F,) bool
     frame_npts: jnp.ndarray       # (F,) int32
+
+
+def _normals_fn(config: SlamConfig) -> Callable:
+    """Per-scan normal estimator (cached and reused as the next frame's ICP
+    target normals). 'radius' is the TPU-native pure-MXU formulation; on real
+    TPUs the fused Pallas moment kernel is used."""
+    if config.normal_method == "radius":
+        # XLA's fused matmul+mask chain beats the Pallas moment kernel here
+        # (the kernel's K=8 / N=16 matmuls starve the MXU; measured 6.5 ms vs
+        # 167 ms at 16k points on v5e) — keep the XLA path as default.
+        r = config.effective_normal_radius
+        return lambda pts, mask: estimate_normals_radius(pts, mask, radius=r)
+    k = config.icp.normal_k
+    return lambda pts, mask: estimate_normals(pts, mask, k=k)
+
+
+def _downsample_fn(config: SlamConfig) -> Callable:
+    """Per-scan cloud preparation from (padded raw points, count).
+
+    ``host_voxelize``: the loader already voxelized on the host (overlapped
+    with device compute); just truncate/mask. Otherwise run the device
+    sort-based voxel kernel (ops/voxel.py)."""
+    if config.host_voxelize:
+
+        def prep(raw_pts, raw_count):
+            pts = raw_pts[: config.max_points]
+            mask = jnp.arange(config.max_points) < raw_count
+            return PointCloud(jnp.where(mask[:, None], pts, 0.0), mask)
+
+        return prep
+
+    def prep(raw_pts, raw_count):
+        raw_mask = jnp.arange(raw_pts.shape[0]) < raw_count
+        return voxel_downsample(
+            raw_pts, raw_mask, config.voxel_size, config.max_points
+        )
+
+    return prep
 
 
 def _resolve_nn1(config: SlamConfig) -> Optional[Callable]:
@@ -126,10 +164,13 @@ def make_init_fn(config: SlamConfig):
     All per-tick functions donate the state pytree: the multi-GB keyframe DB
     buffers must be updated in place, not copied per frame."""
 
+    normals_fn = _normals_fn(config)
+    downsample_fn = _downsample_fn(config)
+
     @functools.partial(jax.jit, donate_argnums=0)
-    def init_fn(state: SlamState, raw_pts, raw_mask) -> SlamState:
-        curr = voxel_downsample(raw_pts, raw_mask, config.voxel_size, config.max_points)
-        normals = estimate_normals(curr.points, curr.mask, k=config.icp.normal_k)
+    def init_fn(state: SlamState, raw_pts, raw_count) -> SlamState:
+        curr = downsample_fn(raw_pts, raw_count)
+        normals = normals_fn(curr.points, curr.mask)
         db = _store_frame_cloud(state.db, curr, jnp.int32(0))
         # frame 0 is NOT added to the loop DB (addFrame only runs in
         # process_frame, slam_node.cpp:159; ctor doesn't call it)
@@ -150,11 +191,14 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
     mesh-sharded collective search from parallel/sharded_knn.py)."""
     if nn1_fn is None:
         nn1_fn = _resolve_nn1(config)
+    normals_fn = _normals_fn(config)
+
+    downsample_fn = _downsample_fn(config)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def step_fn(state: SlamState, raw_pts, raw_mask, frame) -> SlamState:
+    def step_fn(state: SlamState, raw_pts, raw_count, frame) -> SlamState:
         frame = frame.astype(jnp.int32)
-        curr = voxel_downsample(raw_pts, raw_mask, config.voxel_size, config.max_points)
+        curr = downsample_fn(raw_pts, raw_count)
         npts = curr.count()
         ok = npts >= config.min_points
 
@@ -181,7 +225,7 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             state.grid, world, curr.mask & ok, se3.trans(new_pose)[:2], config.grid
         )
 
-        normals = estimate_normals(curr.points, curr.mask, k=config.icp.normal_k)
+        normals = normals_fn(curr.points, curr.mask)
         db = _store_frame_cloud(state.db, curr, frame)
         db = lc.add_frame(db, curr, frame, config.sc, enabled=ok)
 
@@ -205,9 +249,13 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
 def make_loop_fn(config: SlamConfig):
     """Loop detection + factor insertion (slam_node.cpp:159-167)."""
 
+    nrad = (
+        config.effective_normal_radius if config.normal_method == "radius" else 0.0
+    )
+
     @functools.partial(jax.jit, donate_argnums=0)
     def loop_fn(state: SlamState):
-        det = lc.detect(state.db, config.lc, config.sc)
+        det = lc.detect(state.db, config.lc, config.sc, normal_radius=nrad)
 
         def add_one(k, pg_state):
             return pg.add_loop(
@@ -292,6 +340,17 @@ class FrameInfo(NamedTuple):
     loops_total: int
 
 
+def enable_compilation_cache(path: str = "/tmp/lidar_slam_jax_cache") -> None:
+    """Persistent XLA compilation cache — step-function compiles run ~2 min on
+    TPU; cached reruns start instantly."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 class SlamEngine:
     """Host driver: feeds scans to the jitted pipeline and exports artifacts.
 
@@ -301,6 +360,7 @@ class SlamEngine:
     """
 
     def __init__(self, config: SlamConfig):
+        enable_compilation_cache()
         self.config = config
         self._init_fn = make_init_fn(config)
         self._step_fn = make_step_fn(config)
@@ -313,24 +373,26 @@ class SlamEngine:
     # -- scan feeding ------------------------------------------------------
 
     def pad_scan(self, pts: np.ndarray):
-        cap = self.config.max_raw_points
+        cap = (
+            self.config.max_points
+            if self.config.host_voxelize
+            else self.config.max_raw_points
+        )
         n = min(len(pts), cap)
         out = np.zeros((cap, 3), np.float32)
         out[:n] = pts[:n]
-        mask = np.zeros((cap,), bool)
-        mask[:n] = True
-        return jnp.asarray(out), jnp.asarray(mask)
+        return jnp.asarray(out), jnp.int32(n)
 
     def push_scan(self, pts: np.ndarray) -> Optional[dict]:
         """Process one raw scan (host entry point). Returns loop info when a
         detection pass ran."""
-        raw, mask = self.pad_scan(pts)
+        raw, count = self.pad_scan(pts)
         info = None
         if self._frame == 0:
-            self.state = self._init_fn(self.state, raw, mask)
+            self.state = self._init_fn(self.state, raw, count)
         else:
             self.state = self._step_fn(
-                self.state, raw, mask, jnp.int32(self._frame)
+                self.state, raw, count, jnp.int32(self._frame)
             )
             cfg = self.config
             if (

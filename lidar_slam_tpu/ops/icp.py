@@ -39,6 +39,7 @@ from ..config import ICPConfig
 from ..types import ICPResult, PointCloud
 from . import se3
 from .knn import nn1
+from .linalg import solve_psd_small
 from .normals import estimate_normals
 
 
@@ -64,7 +65,8 @@ def solve_point_to_plane(
     prec = jax.lax.Precision.HIGHEST  # f32-accurate normal equations on the MXU
     A = jnp.matmul(Jw.T, J, precision=prec) / denom + damping * jnp.eye(6, dtype=src.dtype)
     rhs = jnp.matmul(Jw.T, b, precision=prec) / denom
-    x = jnp.linalg.solve(A, rhs)
+    # unrolled 6x6 Cholesky — jnp.linalg.solve's LU costs ~100 ms on TPU
+    x = solve_psd_small(A, rhs)
     R = se3.exp_so3(x[:3])     # Rodrigues (icp.hpp:126-141)
     return se3.from_rt(R, x[3:])  # raw translation, as in the reference
 
@@ -99,6 +101,15 @@ def icp_point_to_plane(
         nn1_fn = lambda s, t, m: nn1(s, t, m)
     if init_transform is None:
         init_transform = se3.identity(src.points.dtype)
+
+    if 0 < config.sample_points < src.points.shape[0]:
+        # strided subsample of the valid prefix (valid points are contiguous
+        # after voxel downsampling)
+        n_out = config.sample_points
+        cnt = src.count()
+        j = jnp.arange(n_out)
+        sel = jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
+        src = PointCloud(src.points[sel], src.mask[sel])
 
     w = src.mask.astype(src.points.dtype)
     denom = jnp.maximum(jnp.sum(w), 1.0)

@@ -38,15 +38,18 @@ def pallas_supported() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _nn1_kernel(src_ref, tgt_t_ref, tgt_sq_ref, minv_ref, argm_ref):
+def _nn1_kernel(src_ref, tgt_t_ref, minv_ref, argm_ref):
+    # Broadcast-difference distances on the VPU: for K=3 coordinates a matmul
+    # (even on the MXU) runs at ~8/128 systolic utilization; three fused
+    # (TS,1)-(1,TT) subtract-square-accumulate sweeps are faster AND exact f32
+    # (no |s|^2+|t|^2-2s.t cancellation).
     j = pl.program_id(1)
     tt = tgt_t_ref.shape[1]
-    cross = jnp.dot(
-        src_ref[:], tgt_t_ref[:], preferred_element_type=jnp.float32,
-        precision=_PREC,
-    )  # (TS, TT)
-    d = tgt_sq_ref[:] - 2.0 * cross  # broadcast (1, TT) over rows
-    local_min = jnp.min(d, axis=1, keepdims=True)          # (TS, 1)
+    dx = src_ref[:, 0:1] - tgt_t_ref[0:1, :]
+    dy = src_ref[:, 1:2] - tgt_t_ref[1:2, :]
+    dz = src_ref[:, 2:3] - tgt_t_ref[2:3, :]
+    d = dx * dx + dy * dy + dz * dz                         # (TS, TT)
+    local_min = jnp.min(d, axis=1, keepdims=True)           # (TS, 1)
     local_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None] + j * tt
 
     @pl.when(j == 0)
@@ -96,14 +99,13 @@ def nn1_pallas(
     tgt_p = _pad_rows(tgt, tt, SENTINEL)
     Sp, Tp = src_p.shape[0], tgt_p.shape[0]
 
-    # (Sp, 8) zero-padded coords; (8, Tp) transposed target
+    # (Sp, 8) zero-padded coords (sublane-aligned); (8, Tp) transposed target
     src8 = jnp.concatenate(
         [src_p, jnp.zeros((Sp, 5), src_p.dtype)], axis=1
     )
     tgt8 = jnp.concatenate(
         [tgt_p, jnp.zeros((Tp, 5), tgt_p.dtype)], axis=1
     ).T
-    tgt_sq = jnp.sum(tgt_p * tgt_p, axis=1)[None, :]  # (1, Tp)
 
     grid = (Sp // ts, Tp // tt)
     minv, argm = pl.pallas_call(
@@ -112,7 +114,6 @@ def nn1_pallas(
         in_specs=[
             pl.BlockSpec((ts, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((ts, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -123,8 +124,6 @@ def nn1_pallas(
             jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(src8, tgt8, tgt_sq)
+    )(src8, tgt8)
 
-    src_sq = jnp.sum(src * src, axis=1)
-    d2 = jnp.maximum(minv[:S, 0] + src_sq, 0.0)
-    return argm[:S, 0], d2
+    return argm[:S, 0], jnp.maximum(minv[:S, 0], 0.0)

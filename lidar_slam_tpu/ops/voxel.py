@@ -12,8 +12,10 @@ any LiDAR return in sensor frame). Out-of-range points are clamped.
 
 The set of output centroids matches the reference exactly; ordering differs
 (sorted by voxel key vs. unordered_map iteration order), which no consumer
-depends on. If more than ``out_size`` voxels are occupied, the lowest-key
-voxels are kept deterministically.
+depends on. If more than ``out_size`` voxels are occupied, an evenly strided
+subset over the key-sorted uniques is kept — strided-over-sorted is spatially
+uniform (a sorted-prefix cut would keep only the low-x slab of the scene and
+poison ICP).
 """
 
 from __future__ import annotations
@@ -70,11 +72,17 @@ def voxel_downsample(
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # unique-voxel id per point
     n_unique = jnp.sum(is_start.astype(jnp.int32))
 
-    # Scatter into out_size (+1 overflow slot for invalid / beyond-capacity).
-    slot = jnp.where(valid_s & (seg < out_size), seg, out_size)
-    sums = jnp.zeros((out_size + 1, 3), pts.dtype).at[slot].add(pts_s)
-    counts = jnp.zeros((out_size + 1,), pts.dtype).at[slot].add(1.0)
-    centroids = sums[:out_size] / jnp.maximum(counts[:out_size], 1.0)[:, None]
+    # Scatter per-voxel sums into an N-slot buffer (up to N unique voxels),
+    # then gather an evenly strided out_size subset (spatially uniform when
+    # over capacity — uniques are key-sorted).
+    slot = jnp.where(valid_s, seg, N)
+    sums = jnp.zeros((N + 1, 3), pts.dtype).at[slot].add(pts_s)
+    counts = jnp.zeros((N + 1,), pts.dtype).at[slot].add(1.0)
+    j = jnp.arange(out_size)
+    pick = jnp.where(
+        n_unique > out_size, (j * n_unique) // out_size, j
+    ).astype(jnp.int32)
+    centroids = sums[pick] / jnp.maximum(counts[pick], 1.0)[:, None]
     out_mask = jnp.arange(out_size) < jnp.minimum(n_unique, out_size)
 
     # voxel_size <= 0: pass through raw points (file_utils.cpp:153).

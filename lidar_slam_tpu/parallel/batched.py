@@ -71,23 +71,23 @@ class BatchedSlamEngine:
     def pad_scans(self, scans):
         cap = self.config.max_raw_points
         pts = np.zeros((self.batch, cap, 3), np.float32)
-        mask = np.zeros((self.batch, cap), bool)
+        counts = np.zeros((self.batch,), np.int32)
         for b, s in enumerate(scans):
             n = min(len(s), cap)
             pts[b, :n] = s[:n]
-            mask[b, :n] = True
-        return jnp.asarray(pts), jnp.asarray(mask)
+            counts[b] = n
+        return jnp.asarray(pts), jnp.asarray(counts)
 
     def push_scans(self, scans) -> Optional[int]:
         """One scan per sequence. Returns total loops found when a detection
         pass ran."""
-        raw, mask = self.pad_scans(scans)
+        raw, counts = self.pad_scans(scans)
         found = None
         if self._frame == 0:
-            self.state = self._init(self.state, raw, mask)
+            self.state = self._init(self.state, raw, counts)
         else:
             frames = jnp.full((self.batch,), self._frame, jnp.int32)
-            self.state = self._step(self.state, raw, mask, frames)
+            self.state = self._step(self.state, raw, counts, frames)
             cfg = self.config
             if (
                 self._frame % cfg.loop_check_every == 0

@@ -110,6 +110,20 @@ def save_ply(path: str, pts: np.ndarray, intensity: np.ndarray | None = None) ->
         f.write(body.tobytes())
 
 
+def voxel_downsample_np(pts: np.ndarray, voxel: float) -> np.ndarray:
+    """Host voxel-grid centroid downsample (NumPy fallback for the native
+    implementation; same semantics as reference file_utils.cpp:148-196)."""
+    if voxel <= 0:
+        return pts
+    keys = np.floor(pts / voxel).astype(np.int64)
+    _, inv = np.unique(keys, axis=0, return_inverse=True)
+    n = inv.max() + 1 if len(inv) else 0
+    sums = np.zeros((n, 3), np.float64)
+    np.add.at(sums, inv, pts)
+    cnts = np.bincount(inv, minlength=n)
+    return (sums / cnts[:, None]).astype(np.float32)
+
+
 def extract_timestamp(filename: str) -> int:
     """``(\\d+).ply`` -> timestamp, else -1 (file_utils.cpp:203-210)."""
     m = re.search(r"(\d+)\.ply", filename)

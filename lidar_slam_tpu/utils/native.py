@@ -65,6 +65,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.lidar_prefetch_create_voxel.restype = ctypes.c_void_p
+        lib.lidar_prefetch_create_voxel.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_long,
+        ]
+        lib.lidar_voxel_downsample.restype = ctypes.c_long
+        lib.lidar_voxel_downsample.argtypes = [
+            fp, ctypes.c_long, ctypes.c_float, fp, ctypes.c_long,
+        ]
         lib.lidar_prefetch_get.restype = ctypes.c_long
         lib.lidar_prefetch_get.argtypes = [ctypes.c_void_p, ctypes.c_long, fp]
         lib.lidar_prefetch_destroy.restype = None
@@ -92,6 +106,26 @@ def load_scan_native(path: str, cap: int = 1 << 18) -> Optional[np.ndarray]:
     return out[:n]
 
 
+def voxel_downsample_host(pts: np.ndarray, voxel: float,
+                          cap: int = 1 << 18) -> np.ndarray:
+    """Host voxel-grid centroid downsample: native C++ if available, NumPy
+    otherwise (semantics of reference file_utils.cpp:148-196)."""
+    lib = get_lib()
+    if lib is not None:
+        pts = np.ascontiguousarray(pts, np.float32)
+        out = np.empty((min(cap, len(pts) or 1), 3), np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        n = lib.lidar_voxel_downsample(
+            pts.ctypes.data_as(fp), len(pts), ctypes.c_float(voxel),
+            out.ctypes.data_as(fp), len(out),
+        )
+        if n >= 0:
+            return out[:n]
+    from .io import voxel_downsample_np
+
+    return voxel_downsample_np(pts, voxel)[:cap]
+
+
 class FrameLoader:
     """Asynchronous readahead frame loader over the native prefetcher.
 
@@ -101,16 +135,23 @@ class FrameLoader:
     """
 
     def __init__(self, paths: List[str], cap: int = 1 << 18, window: int = 8,
-                 threads: int = 2):
+                 threads: int = 2, voxel: float = 0.0, raw_cap: int = 0):
         self.paths = paths
         self.cap = cap
+        self.voxel = voxel
         self._handle = None
         self._lib = get_lib()
         if self._lib is not None and paths:
             arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-            self._handle = self._lib.lidar_prefetch_create(
-                arr, len(paths), cap, window, threads
-            )
+            if voxel > 0:
+                self._handle = self._lib.lidar_prefetch_create_voxel(
+                    arr, len(paths), cap, window, threads,
+                    ctypes.c_float(voxel), raw_cap or cap,
+                )
+            else:
+                self._handle = self._lib.lidar_prefetch_create(
+                    arr, len(paths), cap, window, threads
+                )
 
     def get(self, frame: int) -> np.ndarray:
         if self._handle is not None:
@@ -122,9 +163,12 @@ class FrameLoader:
             )
             if n >= 0:
                 return out[:n]
-        from .io import load_scan
+        from .io import load_scan, voxel_downsample_np
 
-        return load_scan(self.paths[frame])
+        pts = load_scan(self.paths[frame])
+        if self.voxel > 0:
+            pts = voxel_downsample_np(pts, self.voxel)
+        return pts[: self.cap]
 
     def close(self):
         if self._handle is not None:

@@ -16,9 +16,11 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -138,6 +140,52 @@ long load_bin_impl(const char* path, float* out, long cap) {
 }
 
 // ---------------------------------------------------------------------------
+// Host voxel-grid downsampling (centroid per voxel), mirroring the reference
+// host implementation (file_utils.cpp:148-196). Running it inside the
+// prefetch worker overlaps it with device compute, taking it off the SLAM
+// critical path entirely, and shrinks the host->device transfer.
+// ---------------------------------------------------------------------------
+
+long voxel_downsample_impl(const float* pts, long n, float voxel, float* out,
+                           long cap) {
+    if (voxel <= 0) {
+        long m = n < cap ? n : cap;
+        std::memcpy(out, pts, static_cast<size_t>(m) * 3 * sizeof(float));
+        return m;
+    }
+    struct Acc {
+        double x = 0, y = 0, z = 0;
+        int cnt = 0;
+    };
+    std::unordered_map<long long, Acc> map;
+    map.reserve(static_cast<size_t>(n));
+    const double inv = 1.0 / voxel;
+    for (long i = 0; i < n; ++i) {
+        const float x = pts[i * 3], y = pts[i * 3 + 1], z = pts[i * 3 + 2];
+        // floor(p / voxel) per axis, packed like the device kernel
+        long long qx = (long long)std::floor(x * inv) + (1 << 20);
+        long long qy = (long long)std::floor(y * inv) + (1 << 20);
+        long long qz = (long long)std::floor(z * inv) + (1 << 20);
+        long long key = (qx << 42) | (qy << 21) | qz;
+        Acc& a = map[key];
+        a.x += x;
+        a.y += y;
+        a.z += z;
+        a.cnt += 1;
+    }
+    long m = 0;
+    for (const auto& kv : map) {
+        if (m >= cap) break;
+        const Acc& a = kv.second;
+        out[m * 3] = static_cast<float>(a.x / a.cnt);
+        out[m * 3 + 1] = static_cast<float>(a.y / a.cnt);
+        out[m * 3 + 2] = static_cast<float>(a.z / a.cnt);
+        ++m;
+    }
+    return m;
+}
+
+// ---------------------------------------------------------------------------
 // Readahead prefetcher: a worker pool loads frames ahead of the consumer into
 // fixed slots; get() blocks until its frame is ready. Frames are consumed
 // roughly in order (SLAM playback), so eviction is by frame index.
@@ -145,7 +193,9 @@ long load_bin_impl(const char* path, float* out, long cap) {
 
 struct Prefetcher {
     std::vector<std::string> paths;
-    long cap;            // max points per frame
+    long cap;            // max points per frame (post-downsample)
+    float voxel;         // > 0: voxel-downsample in the worker
+    long raw_cap;        // scratch capacity for raw points
     int window;          // number of readahead slots
     std::vector<std::vector<float>> slots;
     std::vector<long> counts;        // points in slot (-2 = empty, -1 = error)
@@ -157,8 +207,10 @@ struct Prefetcher {
     std::condition_variable cv;
     std::vector<std::thread> workers;
 
-    Prefetcher(const char** p, int n, long cap_, int window_, int n_threads)
-        : cap(cap_), window(window_) {
+    Prefetcher(const char** p, int n, long cap_, int window_, int n_threads,
+               float voxel_ = 0.0f, long raw_cap_ = 0)
+        : cap(cap_), voxel(voxel_), raw_cap(raw_cap_ > 0 ? raw_cap_ : cap_),
+          window(window_) {
         paths.assign(p, p + n);
         slots.resize(window);
         counts.assign(window, -2);
@@ -189,10 +241,23 @@ struct Prefetcher {
             }
             const std::string& path = paths[static_cast<size_t>(frame)];
             long cnt;
-            if (path.size() > 4 && path.compare(path.size() - 4, 4, ".bin") == 0)
+            if (voxel > 0) {
+                std::vector<float> raw(static_cast<size_t>(raw_cap) * 3);
+                long nr;
+                if (path.size() > 4 &&
+                    path.compare(path.size() - 4, 4, ".bin") == 0)
+                    nr = load_bin_impl(path.c_str(), raw.data(), raw_cap);
+                else
+                    nr = load_ply_impl(path.c_str(), raw.data(), raw_cap);
+                cnt = nr < 0 ? nr
+                             : voxel_downsample_impl(raw.data(), nr, voxel,
+                                                     slots[slot].data(), cap);
+            } else if (path.size() > 4 &&
+                       path.compare(path.size() - 4, 4, ".bin") == 0) {
                 cnt = load_bin_impl(path.c_str(), slots[slot].data(), cap);
-            else
+            } else {
                 cnt = load_ply_impl(path.c_str(), slots[slot].data(), cap);
+            }
             {
                 std::lock_guard<std::mutex> lk(mu);
                 counts[slot] = cnt;
@@ -256,9 +321,20 @@ int lidar_write_ply(const char* path, const float* pts, long n,
     return 0;
 }
 
+long lidar_voxel_downsample(const float* pts, long n, float voxel, float* out,
+                            long cap) {
+    return voxel_downsample_impl(pts, n, voxel, out, cap);
+}
+
 void* lidar_prefetch_create(const char** paths, int n, long cap, int window,
                             int n_threads) {
     return new Prefetcher(paths, n, cap, window, n_threads);
+}
+
+void* lidar_prefetch_create_voxel(const char** paths, int n, long cap,
+                                  int window, int n_threads, float voxel,
+                                  long raw_cap) {
+    return new Prefetcher(paths, n, cap, window, n_threads, voxel, raw_cap);
 }
 
 long lidar_prefetch_get(void* h, long frame, float* out) {

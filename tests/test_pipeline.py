@@ -23,10 +23,12 @@ def small_run():
     world = generate_world(0, route_half=half)
     gt = generate_trajectory(60, half=half)[:n]
     rng = np.random.default_rng(0)
-    scans = [render_scan(world, gt[i], rng, max_range=30.0, max_points=2000)
+    scans = [render_scan(world, gt[i], rng, max_range=30.0, max_points=4000)
              for i in range(n)]
-    cfg = tiny_config(max_raw_points=2048, max_points=2048, lc_cloud_points=1024,
-                      max_frames=32)
+    # voxel_size matched to the test scan density (~0.7 m spacing) so the
+    # radius-normal neighborhood (2.4 * voxel) finds enough neighbors
+    cfg = tiny_config(max_raw_points=4096, max_points=4096, lc_cloud_points=1024,
+                      max_frames=32).replace(voxel_size=0.8)
     eng = SlamEngine(cfg)
     for s in scans:
         eng.push_scan(s)
