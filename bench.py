@@ -14,7 +14,8 @@ Environment knobs:
   BENCH_FRAMES   (default 240)   number of scans
   BENCH_POINTS   (default 32768) raw points per scan
   BENCH_DS       (default 16384) downsampled capacity
-  BENCH_LC       (default 4096)  loop-DB cloud capacity
+  BENCH_LC       (default 0)     loop-DB cloud capacity (0 = full resolution)
+  BENCH_SAMPLE   (default 8192)  ICP source subsample (0 = all points)
 """
 
 from __future__ import annotations
@@ -35,11 +36,12 @@ def main() -> int:
     frames = int(os.environ.get("BENCH_FRAMES", 240))
     raw_pts = int(os.environ.get("BENCH_POINTS", 32768))
     ds_pts = int(os.environ.get("BENCH_DS", 16384))
-    lc_pts = int(os.environ.get("BENCH_LC", 4096))
+    lc_pts = int(os.environ.get("BENCH_LC", 0))
+    icp_sample = int(os.environ.get("BENCH_SAMPLE", 8192))
 
     import jax
 
-    from lidar_slam_tpu.config import SlamConfig
+    from lidar_slam_tpu.config import ICPConfig, LoopClosureConfig, SlamConfig
     from lidar_slam_tpu.models.pipeline import SlamEngine
     from lidar_slam_tpu.utils.dataset import (
         generate_trajectory,
@@ -67,6 +69,8 @@ def main() -> int:
         lc_cloud_points=lc_pts,
         max_frames=frames + 8,
         host_voxelize=True,
+        icp=ICPConfig(sample_points=icp_sample),
+        lc=LoopClosureConfig(verify_sample=4096),
     )
     log(
         f"config: raw_cap={raw_cap} ds={ds_pts} lc={lc_pts} "
@@ -94,9 +98,7 @@ def main() -> int:
                             cfg.voxel_size, ds_pts,
                         )
                     )
-                info = eng.push_scan(futs[i].result())
-                if info:
-                    log(f"loop: {info}")
+                eng.push_scan(futs[i].result())  # no per-frame device syncs
         eng.finalize()
         import jax
 

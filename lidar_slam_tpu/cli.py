@@ -115,11 +115,11 @@ def cmd_run(args) -> int:
     t_start = time.perf_counter()
     for i, (_, path) in enumerate(frames):
         t0 = time.perf_counter()
-        info = engine.push_scan(loader.get(i))
+        info = engine.push_scan(loader.get(i), sync_info=args.verbose)
         if info:
             print(f"Loop: {info['query']} <-> {info['matches']}")
-        if i % 10 == 0 and i > 0:
-            # mirror slam_node.cpp:169-174 cadence
+        if args.verbose and i % 10 == 0 and i > 0:
+            # mirror slam_node.cpp:169-174 cadence (each read syncs the device)
             err = float(engine.state.icp_error[i])
             ms = (time.perf_counter() - t0) * 1e3
             print(
@@ -208,6 +208,8 @@ def main(argv=None) -> int:
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
     r.add_argument("--no-host-voxelize", action="store_true",
                    help="voxelize on device instead of in the loader workers")
+    r.add_argument("--verbose", action="store_true",
+                   help="per-frame stats + loop prints (forces device syncs)")
     r.set_defaults(fn=cmd_run)
 
     c = sub.add_parser("convert", help="KITTI .bin -> .ply")

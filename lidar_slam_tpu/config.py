@@ -61,6 +61,10 @@ class LoopClosureConfig:
     icp_max_iterations: int = 30       # loop verification budget (loop_closure.hpp:106)
     yaw_seed: bool = False             # improvement: seed verify-ICP yaw from best SC shift
     ring_key_prefilter: int = 0        # improvement: >0 = prefilter DB by ring-key top-k
+    # >0: subsample the verify-ICP SOURCE to this many points. The fitness
+    # threshold (0.3) assumes full-density targets — keep DB clouds at full
+    # resolution and sample only the query side for speed.
+    verify_sample: int = 0
 
 
 @dataclass(frozen=True)

@@ -160,7 +160,11 @@ def detect(
     cand_idx = cand_idx.astype(jnp.int32)
 
     query_cloud = PointCloud(db.clouds[q_safe], db.cloud_mask[q_safe])
-    icp_cfg = ICPConfig(max_iterations=cfg.icp_max_iterations, tolerance=1e-6)
+    icp_cfg = ICPConfig(
+        max_iterations=cfg.icp_max_iterations,
+        tolerance=1e-6,
+        sample_points=cfg.verify_sample,
+    )
 
     # Optional yaw seed from the SC best shift (reference uses identity init,
     # loop_closure.hpp:105-109).

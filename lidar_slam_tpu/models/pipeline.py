@@ -253,6 +253,14 @@ def make_loop_fn(config: SlamConfig):
         config.effective_normal_radius if config.normal_method == "radius" else 0.0
     )
 
+    def optimize_body(state: SlamState):
+        res = pg.optimize(state.pg, config.pg)
+        idx = jnp.arange(state.poses.shape[0])
+        poses = jnp.where(
+            (idx < state.n_poses)[:, None, None], res.poses, state.poses
+        )
+        return state._replace(poses=poses, pending_optimize=jnp.bool_(False))
+
     @functools.partial(jax.jit, donate_argnums=0)
     def loop_fn(state: SlamState):
         det = lc.detect(state.db, config.lc, config.sc, normal_radius=nrad)
@@ -275,6 +283,11 @@ def make_loop_fn(config: SlamConfig):
             loop_count=state.loop_count + n_found,
             pending_optimize=jnp.logical_or(state.pending_optimize, n_found > 0),
         )
+        # Optimize in-graph when a loop was found (slam_node.cpp:112-115).
+        # lax.cond executes only the taken branch at runtime, and keeping the
+        # trigger on device avoids a host sync (~50 ms over a TPU tunnel)
+        # per detection pass.
+        state = jax.lax.cond(n_found > 0, optimize_body, lambda s: s, state)
         return state, det
 
     return loop_fn
@@ -383,9 +396,13 @@ class SlamEngine:
         out[:n] = pts[:n]
         return jnp.asarray(out), jnp.int32(n)
 
-    def push_scan(self, pts: np.ndarray) -> Optional[dict]:
-        """Process one raw scan (host entry point). Returns loop info when a
-        detection pass ran."""
+    def push_scan(self, pts: np.ndarray, sync_info: bool = False) -> Optional[dict]:
+        """Process one raw scan (host entry point).
+
+        Loop detection + conditional optimization run fully on device at the
+        reference cadence; no host sync happens unless ``sync_info`` is set
+        (each sync costs ~50 ms over a TPU tunnel). With ``sync_info=True``
+        a dict describing any accepted detection is returned."""
         raw, count = self.pad_scan(pts)
         info = None
         if self._frame == 0:
@@ -400,17 +417,14 @@ class SlamEngine:
                 and self._frame > cfg.loop_start_frame
             ):
                 self.state, det = self._loop_fn(self.state)
-                n_found = int(jnp.sum(det.accepted.astype(jnp.int32)))
-                if n_found:
-                    info = {
-                        "found": n_found,
-                        "query": int(det.query_frame),
-                        "matches": np.asarray(det.match_frame)[
-                            np.asarray(det.accepted)
-                        ].tolist(),
-                    }
-                    # optimize immediately, as the node does (slam_node.cpp:112-115)
-                    self.state, _ = self._optimize_fn(self.state)
+                if sync_info:
+                    acc = np.asarray(det.accepted)
+                    if acc.any():
+                        info = {
+                            "found": int(acc.sum()),
+                            "query": int(det.query_frame),
+                            "matches": np.asarray(det.match_frame)[acc].tolist(),
+                        }
         self._frame += 1
         return info
 
