@@ -16,6 +16,7 @@ Subcommands:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -81,6 +82,7 @@ def cmd_run(args) -> int:
     if args.frames:
         frames = frames[: args.frames]
 
+    os.makedirs(args.out_dir, exist_ok=True)
     cfg = _build_config(args)
     if cfg.max_frames < len(frames):
         cfg = cfg.replace(max_frames=len(frames) + 8)
@@ -102,6 +104,15 @@ def cmd_run(args) -> int:
         f"frames={len(frames)} backend={cfg.knn_backend}"
     )
 
+    if args.resume:
+        engine.load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at frame {engine.n_frames}")
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
     period = 1.0 / args.playback_rate if args.playback_rate > 0 else 0.0
     if cfg.host_voxelize:
         loader = FrameLoader(
@@ -113,9 +124,16 @@ def cmd_run(args) -> int:
             [p for _, p in frames], cap=cfg.max_raw_points, window=8, threads=2
         )
     t_start = time.perf_counter()
+    start_frame = engine.n_frames
     for i, (_, path) in enumerate(frames):
+        if i < start_frame:
+            continue
         t0 = time.perf_counter()
         info = engine.push_scan(loader.get(i), sync_info=args.verbose)
+        if args.checkpoint_every and i and i % args.checkpoint_every == 0:
+            engine.save_checkpoint(
+                os.path.join(args.out_dir, "checkpoint.npz")
+            )
         if info:
             print(f"Loop: {info['query']} <-> {info['matches']}")
         if args.verbose and i % 10 == 0 and i > 0:
@@ -131,11 +149,15 @@ def cmd_run(args) -> int:
             if dt < period:
                 time.sleep(period - dt)
     engine.finalize()
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace -> {args.profile}")
     wall = time.perf_counter() - t_start
-    sps = len(frames) / wall
+    sps = (len(frames) - start_frame) / wall
 
     extra = {"scans_per_sec": sps, "wall_sec": wall}
-    import os
 
     gt_path = os.path.join(args.data_dir, "poses_gt.txt")
     if os.path.exists(gt_path):
@@ -155,9 +177,51 @@ def cmd_run(args) -> int:
     return 0
 
 
-def cmd_convert(args) -> int:
-    import os
+def cmd_run_batch(args) -> int:
+    """Batched multi-sequence SLAM (BASELINE.md config ladder #4)."""
+    import numpy as np
 
+    from .config import SlamConfig
+    from .parallel import BatchedSlamEngine
+    from .utils import export
+    from .utils.io import discover_frames, load_scan
+
+    dirs = [d for d in args.data_dirs.split(",") if d]
+    seqs = [discover_frames(d) for d in dirs]
+    if not all(seqs):
+        print("empty sequence directory", file=sys.stderr)
+        return 1
+    n = min(len(s) for s in seqs)
+    if args.frames:
+        n = min(n, args.frames)
+    cfg = SlamConfig(
+        voxel_size=args.voxel_size,
+        max_points=args.max_points,
+        max_raw_points=args.max_raw_points,
+        max_frames=n + 8,
+    )
+    eng = BatchedSlamEngine(cfg, batch=len(dirs))
+    t0 = time.perf_counter()
+    for i in range(n):
+        eng.push_scans([load_scan(seq[i][1]) for seq in seqs])
+    eng.finalize()
+    wall = time.perf_counter() - t0
+    os.makedirs(args.out_dir, exist_ok=True)
+    trajs = eng.trajectories()
+    for b, d in enumerate(dirs):
+        name = os.path.basename(os.path.normpath(d)) or f"seq{b}"
+        export.save_trajectory_kitti(
+            os.path.join(args.out_dir, f"trajectory_{name}.txt"), trajs[b]
+        )
+    total = n * len(dirs)
+    print(
+        f"done: {len(dirs)} sequences x {n} frames in {wall:.1f}s "
+        f"({total / wall:.1f} scans/s aggregate) -> {args.out_dir}"
+    )
+    return 0
+
+
+def cmd_convert(args) -> int:
     from .utils.io import convert_bin_to_ply, convert_directory
 
     if args.directory:
@@ -210,7 +274,25 @@ def main(argv=None) -> int:
                    help="voxelize on device instead of in the loader workers")
     r.add_argument("--verbose", action="store_true",
                    help="per-frame stats + loop prints (forces device syncs)")
+    r.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save out_dir/checkpoint.npz every N frames")
+    r.add_argument("--resume", default="",
+                   help="resume from a checkpoint.npz (same config required)")
+    r.add_argument("--profile", default="",
+                   help="write a jax.profiler trace to this directory")
     r.set_defaults(fn=cmd_run)
+
+    b = sub.add_parser(
+        "run-batch", help="run K sequences concurrently (vmap, one program)"
+    )
+    b.add_argument("--data-dirs", required=True,
+                   help="comma-separated frame directories")
+    b.add_argument("--out-dir", default="slam_batch_out")
+    b.add_argument("--voxel-size", type=float, default=0.5)
+    b.add_argument("--max-points", type=int, default=16384)
+    b.add_argument("--max-raw-points", type=int, default=131072)
+    b.add_argument("--frames", type=int, default=0)
+    b.set_defaults(fn=cmd_run_batch)
 
     c = sub.add_parser("convert", help="KITTI .bin -> .ply")
     c.add_argument("input")

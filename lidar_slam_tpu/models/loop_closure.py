@@ -142,7 +142,15 @@ def detect(
     q = db.last_frame
     q_safe = jnp.maximum(q, 0)
 
-    dist, best_shift = sc_distances(db.desc[q_safe], db.desc, db.desc_norm)
+    if cfg.ring_key_prefilter > 0:
+        from ..ops.scan_context import sc_distances_ring_prefiltered
+
+        dist, best_shift = sc_distances_ring_prefiltered(
+            db.desc[q_safe], db.desc, db.desc_norm,
+            k=min(cfg.ring_key_prefilter, F),
+        )
+    else:
+        dist, best_shift = sc_distances(db.desc[q_safe], db.desc, db.desc_norm)
 
     frames = jnp.arange(F, dtype=jnp.int32)
     gap_ok = (q_safe - frames) >= cfg.frame_gap  # frame indices ARE the DB ids

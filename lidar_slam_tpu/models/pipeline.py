@@ -473,3 +473,16 @@ class SlamEngine:
 
     def occupancy(self) -> np.ndarray:
         return np.asarray(self.state.grid)
+
+    # -- checkpoint / resume (no reference analog; SURVEY.md §5) ------------
+
+    def save_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import save_state
+
+        save_state(path, self.state, extra={"frame": self._frame})
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import load_state
+
+        self.state, extra = load_state(path, self.state)
+        self._frame = int(extra.get("frame", 0))

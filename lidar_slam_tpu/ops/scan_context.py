@@ -110,6 +110,33 @@ def sc_distances(
     return dist, best_shift
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def sc_distances_ring_prefiltered(
+    query: jnp.ndarray,
+    db: jnp.ndarray,
+    db_norm: jnp.ndarray,
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage retrieval: ring-key L1 prefilter -> full shifted-cosine on
+    the top-k survivors only.
+
+    Resurrects the reference's dead ring_key API (scan_context.hpp:107-109 —
+    declared, never called; SURVEY.md quirk #3) as the original Scan Context
+    paper intends: the ring key is rotation-invariant by construction, so the
+    cheap (F, R) L1 distance safely prunes before the 60-shift search.
+    Returns (dist (F,), best_shift (F,)) with non-survivors at +inf / 0.
+    """
+    F = db.shape[0]
+    qrk = ring_key(query)                       # (R,)
+    rks = jnp.mean(db, axis=-1)                 # (F, R)
+    l1 = jnp.sum(jnp.abs(rks - qrk[None, :]), axis=-1)
+    _, idx = jax.lax.top_k(-l1, k)              # k nearest ring keys
+    d_k, s_k = sc_distances(query, db[idx], db_norm[idx])
+    dist = jnp.full((F,), jnp.inf, query.dtype).at[idx].set(d_k)
+    shift = jnp.zeros((F,), jnp.int32).at[idx].set(s_k)
+    return dist, shift
+
+
 def sc_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise distance of two descriptors (reference scan_context.hpp:90-102)."""
     d, _ = sc_distances(a, b[None], jnp.sqrt(jnp.sum(b * b))[None])
