@@ -16,6 +16,9 @@ Environment knobs:
   BENCH_DS       (default 16384) downsampled capacity
   BENCH_LC       (default 0)     loop-DB cloud capacity (0 = full resolution)
   BENCH_SAMPLE   (default 8192)  ICP source subsample (0 = all points)
+  BENCH_TOL      (default 1e-4)  ICP |delta-error| tolerance (reference: 1e-6
+                                 in f64; 1e-4 converges in ~8 iterations at
+                                 f32 with slightly BETTER ATE)
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def main() -> int:
     ds_pts = int(os.environ.get("BENCH_DS", 16384))
     lc_pts = int(os.environ.get("BENCH_LC", 0))
     icp_sample = int(os.environ.get("BENCH_SAMPLE", 8192))
+    icp_tol = float(os.environ.get("BENCH_TOL", 1e-4))
 
     import jax
 
@@ -69,7 +73,8 @@ def main() -> int:
         lc_cloud_points=lc_pts,
         max_frames=frames + 8,
         host_voxelize=True,
-        icp=ICPConfig(sample_points=icp_sample),
+        icp=ICPConfig(sample_points=icp_sample, tolerance=icp_tol,
+                      max_iterations=20),
         lc=LoopClosureConfig(verify_sample=4096),
     )
     log(

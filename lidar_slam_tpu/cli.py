@@ -159,6 +159,7 @@ def cmd_run(args) -> int:
 
     extra = {"scans_per_sec": sps, "wall_sec": wall}
 
+    gt = None
     gt_path = os.path.join(args.data_dir, "poses_gt.txt")
     if os.path.exists(gt_path):
         from .utils.dataset import load_gt_poses
@@ -169,7 +170,7 @@ def cmd_run(args) -> int:
         extra["ate_rmse"] = ate_rmse(traj, gt)
         extra["rpe_trans"], extra["rpe_rot"] = rpe(traj, gt)
         print(f"ATE RMSE: {extra['ate_rmse']:.3f} m")
-    export.export_all(args.out_dir, engine, extra)
+    export.export_all(args.out_dir, engine, extra, gt=gt)
     print(
         f"done: {len(frames)} scans in {wall:.1f}s ({sps:.1f} scans/s), "
         f"loops={int(engine.state.loop_count)} -> {args.out_dir}"

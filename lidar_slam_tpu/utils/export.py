@@ -59,6 +59,35 @@ def save_occupancy(path: str, grid: np.ndarray, config: OccupancyGridConfig) -> 
             f.write(img.tobytes())
 
 
+def save_overview_png(path: str, poses: np.ndarray, map_pts: np.ndarray,
+                      gt: np.ndarray | None = None) -> bool:
+    """Top-down overview (map points + trajectory) — the RViz replacement
+    image (slam_config.rviz displays). Returns False if matplotlib is
+    unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    fig, ax = plt.subplots(figsize=(8, 8))
+    if len(map_pts):
+        sub = map_pts[:: max(len(map_pts) // 200000, 1)]
+        ax.scatter(sub[:, 0], sub[:, 1], s=0.2, c=sub[:, 2], cmap="viridis",
+                   alpha=0.5, linewidths=0)
+    if gt is not None:
+        ax.plot(gt[:, 0, 3], gt[:, 1, 3], "r--", lw=1, label="ground truth")
+    ax.plot(poses[:, 0, 3], poses[:, 1, 3], "g-", lw=1.5, label="trajectory")
+    ax.plot(poses[-1, 0, 3], poses[-1, 1, 3], "r^", ms=8)
+    ax.set_aspect("equal")
+    ax.legend(loc="upper right")
+    ax.set_title(f"{len(poses)} poses, {len(map_pts)} map points")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def save_metrics_jsonl(path: str, metrics: dict, extra: dict | None = None) -> None:
     """Per-frame metrics log (replaces RCLCPP_INFO stats, slam_node.cpp:169-174)."""
     n = len(metrics["icp_error"])
@@ -78,13 +107,16 @@ def save_metrics_jsonl(path: str, metrics: dict, extra: dict | None = None) -> N
         f.write(json.dumps(summary) + "\n")
 
 
-def export_all(out_dir: str, engine, extra: dict | None = None) -> dict:
+def export_all(out_dir: str, engine, extra: dict | None = None,
+               gt: np.ndarray | None = None) -> dict:
     """Dump every artifact the reference publishes, plus metrics."""
     os.makedirs(out_dir, exist_ok=True)
     traj = engine.trajectory()
     save_trajectory_kitti(os.path.join(out_dir, "trajectory.txt"), traj)
     save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"), traj)
-    save_map(os.path.join(out_dir, "map.ply"), engine.global_map())
+    gmap = engine.global_map()
+    save_map(os.path.join(out_dir, "map.ply"), gmap)
+    save_overview_png(os.path.join(out_dir, "overview.png"), traj, gmap, gt)
     save_occupancy(
         os.path.join(out_dir, "occupancy.npz"), engine.occupancy(), engine.config.grid
     )
