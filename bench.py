@@ -67,12 +67,19 @@ def main() -> int:
     ]
 
     raw_cap = 1 << int(np.ceil(np.log2(max(len(s) for s in scans))))
+    # Host voxelize wins even on a 1-core host (smaller transfers + threaded
+    # C++ overlap); host normals need spare cores (~20 ms/scan of host work)
+    # and are opt-in.
+    host_vox = os.environ.get("BENCH_HOST_VOX", "1") == "1"
+    host_nrm = os.environ.get("BENCH_HOST_NORMALS", "0") == "1"
+
     cfg = SlamConfig(
         max_raw_points=raw_cap,
         max_points=ds_pts,
         lc_cloud_points=lc_pts,
         max_frames=frames + 8,
-        host_voxelize=True,
+        host_voxelize=host_vox,
+        host_normals=host_vox and host_nrm,
         icp=ICPConfig(sample_points=icp_sample, tolerance=icp_tol,
                       max_iterations=20),
         lc=LoopClosureConfig(verify_sample=4096),
@@ -84,26 +91,33 @@ def main() -> int:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from lidar_slam_tpu.utils.native import voxel_downsample_host
+    from lidar_slam_tpu.utils.native import (
+        normals_radius_host,
+        voxel_downsample_host,
+    )
+
+    def prep(s):
+        if not cfg.host_voxelize:
+            return s, None
+        ds = voxel_downsample_host(s, cfg.voxel_size, ds_pts)
+        nrm = (
+            normals_radius_host(ds, cfg.effective_normal_radius)
+            if cfg.host_normals
+            else None
+        )
+        return ds, nrm
 
     def run() -> SlamEngine:
         eng = SlamEngine(cfg)
-        # host voxelization pipelined 8 frames ahead of device compute (the
-        # production FrameLoader does the same inside its C++ workers)
-        with ThreadPoolExecutor(3) as pool:
-            futs = [
-                pool.submit(voxel_downsample_host, s, cfg.voxel_size, ds_pts)
-                for s in scans[:8]
-            ]
+        # host voxelize+normals pipelined 8 frames ahead of device compute
+        # (the production FrameLoader does the same inside its C++ workers)
+        with ThreadPoolExecutor(4) as pool:
+            futs = [pool.submit(prep, s) for s in scans[:8]]
             for i, _ in enumerate(scans):
                 if i + 8 < len(scans):
-                    futs.append(
-                        pool.submit(
-                            voxel_downsample_host, scans[i + 8],
-                            cfg.voxel_size, ds_pts,
-                        )
-                    )
-                eng.push_scan(futs[i].result())  # no per-frame device syncs
+                    futs.append(pool.submit(prep, scans[i + 8]))
+                ds, nrm = futs[i].result()
+                eng.push_scan(ds, normals=nrm)  # no per-frame device syncs
         eng.finalize()
         import jax
 

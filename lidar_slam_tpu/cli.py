@@ -87,8 +87,13 @@ def cmd_run(args) -> int:
     if cfg.max_frames < len(frames):
         cfg = cfg.replace(max_frames=len(frames) + 8)
     if not args.no_host_voxelize:
-        # voxelize in the loader workers — off the device critical path
+        # voxelize (and estimate normals) in the loader workers — off the
+        # device critical path
         cfg = cfg.replace(host_voxelize=True)
+        from .utils.native import native_available
+
+        if cfg.normal_method == "radius" and native_available():
+            cfg = cfg.replace(host_normals=True)
     if not args.max_raw_points:
         # auto-size the raw capacity from the first frame (truncation would
         # spatially bias the scan — render/driver order is not shuffled)
@@ -116,8 +121,11 @@ def cmd_run(args) -> int:
     period = 1.0 / args.playback_rate if args.playback_rate > 0 else 0.0
     if cfg.host_voxelize:
         loader = FrameLoader(
-            [p for _, p in frames], cap=cfg.max_points, window=8, threads=3,
+            [p for _, p in frames], cap=cfg.max_points, window=8, threads=4,
             voxel=cfg.voxel_size, raw_cap=cfg.max_raw_points,
+            normals_radius=(
+                cfg.effective_normal_radius if cfg.host_normals else 0.0
+            ),
         )
     else:
         loader = FrameLoader(
@@ -129,7 +137,11 @@ def cmd_run(args) -> int:
         if i < start_frame:
             continue
         t0 = time.perf_counter()
-        info = engine.push_scan(loader.get(i), sync_info=args.verbose)
+        if cfg.host_normals:
+            pts_i, nrm_i = loader.get_with_normals(i)
+            info = engine.push_scan(pts_i, sync_info=args.verbose, normals=nrm_i)
+        else:
+            info = engine.push_scan(loader.get(i), sync_info=args.verbose)
         if args.checkpoint_every and i and i % args.checkpoint_every == 0:
             engine.save_checkpoint(
                 os.path.join(args.out_dir, "checkpoint.npz")

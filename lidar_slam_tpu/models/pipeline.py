@@ -168,9 +168,12 @@ def make_init_fn(config: SlamConfig):
     downsample_fn = _downsample_fn(config)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def init_fn(state: SlamState, raw_pts, raw_count) -> SlamState:
+    def init_fn(state: SlamState, raw_pts, raw_count, raw_normals=None) -> SlamState:
         curr = downsample_fn(raw_pts, raw_count)
-        normals = normals_fn(curr.points, curr.mask)
+        if config.host_normals and raw_normals is not None:
+            normals = jnp.where(curr.mask[:, None], raw_normals[: config.max_points], 0.0)
+        else:
+            normals = normals_fn(curr.points, curr.mask)
         db = _store_frame_cloud(state.db, curr, jnp.int32(0))
         # frame 0 is NOT added to the loop DB (addFrame only runs in
         # process_frame, slam_node.cpp:159; ctor doesn't call it)
@@ -196,7 +199,7 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
     downsample_fn = _downsample_fn(config)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def step_fn(state: SlamState, raw_pts, raw_count, frame) -> SlamState:
+    def step_fn(state: SlamState, raw_pts, raw_count, frame, raw_normals=None) -> SlamState:
         frame = frame.astype(jnp.int32)
         curr = downsample_fn(raw_pts, raw_count)
         npts = curr.count()
@@ -225,7 +228,12 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             state.grid, world, curr.mask & ok, se3.trans(new_pose)[:2], config.grid
         )
 
-        normals = normals_fn(curr.points, curr.mask)
+        if config.host_normals and raw_normals is not None:
+            normals = jnp.where(
+                curr.mask[:, None], raw_normals[: config.max_points], 0.0
+            )
+        else:
+            normals = normals_fn(curr.points, curr.mask)
         db = _store_frame_cloud(state.db, curr, frame)
         db = lc.add_frame(db, curr, frame, config.sc, enabled=ok)
 
@@ -396,20 +404,38 @@ class SlamEngine:
         out[:n] = pts[:n]
         return jnp.asarray(out), jnp.int32(n)
 
-    def push_scan(self, pts: np.ndarray, sync_info: bool = False) -> Optional[dict]:
+    def push_scan(self, pts: np.ndarray, sync_info: bool = False,
+                  normals: Optional[np.ndarray] = None) -> Optional[dict]:
         """Process one raw scan (host entry point).
 
         Loop detection + conditional optimization run fully on device at the
         reference cadence; no host sync happens unless ``sync_info`` is set
         (each sync costs ~50 ms over a TPU tunnel). With ``sync_info=True``
-        a dict describing any accepted detection is returned."""
+        a dict describing any accepted detection is returned.
+
+        ``normals``: host-computed per-point normals (config.host_normals)."""
         raw, count = self.pad_scan(pts)
+        kw = {}
+        if self.config.host_normals:
+            cap = raw.shape[0]
+            nrm = np.zeros((cap, 3), np.float32)
+            if normals is not None:
+                n = min(len(normals), cap)
+                nrm[:n] = normals[:n]
+            else:
+                from ..utils.native import normals_radius_host
+
+                n = min(len(pts), cap)
+                nrm[:n] = normals_radius_host(
+                    pts[:n], self.config.effective_normal_radius
+                )
+            kw["raw_normals"] = jnp.asarray(nrm)
         info = None
         if self._frame == 0:
-            self.state = self._init_fn(self.state, raw, count)
+            self.state = self._init_fn(self.state, raw, count, **kw)
         else:
             self.state = self._step_fn(
-                self.state, raw, count, jnp.int32(self._frame)
+                self.state, raw, count, jnp.int32(self._frame), **kw
             )
             cfg = self.config
             if (

@@ -79,6 +79,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.lidar_voxel_downsample.argtypes = [
             fp, ctypes.c_long, ctypes.c_float, fp, ctypes.c_long,
         ]
+        lib.lidar_normals_radius.restype = None
+        lib.lidar_normals_radius.argtypes = [fp, ctypes.c_long, ctypes.c_float, fp]
+        lib.lidar_prefetch_create_full.restype = ctypes.c_void_p
+        lib.lidar_prefetch_create_full.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_long,
+            ctypes.c_float,
+        ]
+        lib.lidar_prefetch_get_full.restype = ctypes.c_long
+        lib.lidar_prefetch_get_full.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, fp, fp,
+        ]
         lib.lidar_prefetch_get.restype = ctypes.c_long
         lib.lidar_prefetch_get.argtypes = [ctypes.c_void_p, ctypes.c_long, fp]
         lib.lidar_prefetch_destroy.restype = None
@@ -135,15 +152,23 @@ class FrameLoader:
     """
 
     def __init__(self, paths: List[str], cap: int = 1 << 18, window: int = 8,
-                 threads: int = 2, voxel: float = 0.0, raw_cap: int = 0):
+                 threads: int = 2, voxel: float = 0.0, raw_cap: int = 0,
+                 normals_radius: float = 0.0):
         self.paths = paths
         self.cap = cap
         self.voxel = voxel
+        self.normals_radius = normals_radius
         self._handle = None
         self._lib = get_lib()
         if self._lib is not None and paths:
             arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-            if voxel > 0:
+            if normals_radius > 0:
+                self._handle = self._lib.lidar_prefetch_create_full(
+                    arr, len(paths), cap, window, threads,
+                    ctypes.c_float(voxel), raw_cap or cap,
+                    ctypes.c_float(normals_radius),
+                )
+            elif voxel > 0:
                 self._handle = self._lib.lidar_prefetch_create_voxel(
                     arr, len(paths), cap, window, threads,
                     ctypes.c_float(voxel), raw_cap or cap,
@@ -170,6 +195,21 @@ class FrameLoader:
             pts = voxel_downsample_np(pts, self.voxel)
         return pts[: self.cap]
 
+    def get_with_normals(self, frame: int):
+        """(points, normals) — requires ``normals_radius > 0``."""
+        if self._handle is not None and self.normals_radius > 0:
+            fp = ctypes.POINTER(ctypes.c_float)
+            out = np.empty((self.cap, 3), np.float32)
+            nrm = np.empty((self.cap, 3), np.float32)
+            n = self._lib.lidar_prefetch_get_full(
+                self._handle, frame,
+                out.ctypes.data_as(fp), nrm.ctypes.data_as(fp),
+            )
+            if n >= 0:
+                return out[:n], nrm[:n]
+        pts = self.get(frame)
+        return pts, normals_radius_host(pts, self.normals_radius or 1.0)
+
     def close(self):
         if self._handle is not None:
             self._lib.lidar_prefetch_destroy(self._handle)
@@ -183,3 +223,26 @@ class FrameLoader:
 
     def __del__(self):
         self.close()
+
+
+def normals_radius_host(pts: np.ndarray, radius: float) -> np.ndarray:
+    """Host radius normals: native C++ if available, device-op fallback."""
+    lib = get_lib()
+    if lib is not None:
+        pts = np.ascontiguousarray(pts, np.float32)
+        out = np.empty_like(pts)
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.lidar_normals_radius(
+            pts.ctypes.data_as(fp), len(pts), ctypes.c_float(radius),
+            out.ctypes.data_as(fp),
+        )
+        return out
+    import jax.numpy as jnp
+
+    from ..ops.normals import estimate_normals_radius
+
+    return np.asarray(
+        estimate_normals_radius(
+            jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool), radius
+        )
+    )

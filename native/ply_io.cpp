@@ -186,6 +186,112 @@ long voxel_downsample_impl(const float* pts, long n, float voxel, float* out,
 }
 
 // ---------------------------------------------------------------------------
+// Host radius-neighborhood PCA normals via a voxel-hash grid.
+// Mirrors the semantics of lidar_slam_tpu/ops/normals.py (radius method):
+// neighbors within `radius`, covariance about their centroid, smallest
+// eigenvector by the analytic trigonometric 3x3 method, z-oriented, (0,0,1)
+// fallback for <3 neighbors. Runs inside the prefetch workers so it is
+// overlapped with device compute (the device-side version costs ~4.5 ms per
+// 16k scan on a v5e — pure win to hide it on the host).
+// ---------------------------------------------------------------------------
+
+void normals_radius_impl(const float* pts, long n, float radius, float* out) {
+    const double r2 = (double)radius * radius;
+    const double inv_cell = 1.0 / radius;
+    std::unordered_map<long long, std::vector<int>> grid;
+    grid.reserve(static_cast<size_t>(n));
+    auto cell_key = [&](double x, double y, double z) -> long long {
+        long long qx = (long long)std::floor(x * inv_cell) + (1 << 20);
+        long long qy = (long long)std::floor(y * inv_cell) + (1 << 20);
+        long long qz = (long long)std::floor(z * inv_cell) + (1 << 20);
+        return (qx << 42) | (qy << 21) | qz;
+    };
+    for (long i = 0; i < n; ++i)
+        grid[cell_key(pts[i * 3], pts[i * 3 + 1], pts[i * 3 + 2])].push_back(
+            static_cast<int>(i));
+
+    for (long i = 0; i < n; ++i) {
+        const double px = pts[i * 3], py = pts[i * 3 + 1], pz = pts[i * 3 + 2];
+        double sx = 0, sy = 0, sz = 0;
+        double xx = 0, yy = 0, zz = 0, xy = 0, xz = 0, yz = 0;
+        int cnt = 0;
+        const long long cx = (long long)std::floor(px * inv_cell);
+        const long long cy = (long long)std::floor(py * inv_cell);
+        const long long cz = (long long)std::floor(pz * inv_cell);
+        for (long long dx = -1; dx <= 1; ++dx)
+            for (long long dy = -1; dy <= 1; ++dy)
+                for (long long dz = -1; dz <= 1; ++dz) {
+                    long long key = (((cx + dx) + (1 << 20)) << 42) |
+                                    (((cy + dy) + (1 << 20)) << 21) |
+                                    ((cz + dz) + (1 << 20));
+                    auto it = grid.find(key);
+                    if (it == grid.end()) continue;
+                    for (int j : it->second) {
+                        const double tx = pts[j * 3], ty = pts[j * 3 + 1],
+                                     tz = pts[j * 3 + 2];
+                        const double ddx = tx - px, ddy = ty - py,
+                                     ddz = tz - pz;
+                        if (ddx * ddx + ddy * ddy + ddz * ddz >= r2) continue;
+                        // accumulate in query-relative coords (no cancellation)
+                        sx += ddx; sy += ddy; sz += ddz;
+                        xx += ddx * ddx; yy += ddy * ddy; zz += ddz * ddz;
+                        xy += ddx * ddy; xz += ddx * ddz; yz += ddy * ddz;
+                        ++cnt;
+                    }
+                }
+        float* o = out + i * 3;
+        if (cnt < 3) {
+            o[0] = 0; o[1] = 0; o[2] = 1;
+            continue;
+        }
+        const double inv = 1.0 / cnt;
+        const double mx = sx * inv, my = sy * inv, mz = sz * inv;
+        double a00 = xx * inv - mx * mx, a11 = yy * inv - my * my,
+               a22 = zz * inv - mz * mz;
+        double a01 = xy * inv - mx * my, a02 = xz * inv - mx * mz,
+               a12 = yz * inv - my * mz;
+        // analytic smallest eigenvalue (trigonometric method)
+        const double q = (a00 + a11 + a22) / 3.0;
+        const double p1 = a01 * a01 + a02 * a02 + a12 * a12;
+        const double p2 = (a00 - q) * (a00 - q) + (a11 - q) * (a11 - q) +
+                          (a22 - q) * (a22 - q) + 2.0 * p1;
+        const double p = std::sqrt(std::max(p2 / 6.0, 1e-30));
+        const double b00 = (a00 - q) / p, b11 = (a11 - q) / p,
+                     b22 = (a22 - q) / p;
+        const double b01 = a01 / p, b02 = a02 / p, b12 = a12 / p;
+        double detB = b00 * (b11 * b22 - b12 * b12) -
+                      b01 * (b01 * b22 - b12 * b02) +
+                      b02 * (b01 * b12 - b11 * b02);
+        double rr = detB / 2.0;
+        rr = rr < -1.0 ? -1.0 : (rr > 1.0 ? 1.0 : rr);
+        const double phi = std::acos(rr) / 3.0;
+        const double lam = q + 2.0 * p * std::cos(phi + 2.0 * M_PI / 3.0);
+        // null-space direction of (A - lam I): largest cross product of rows
+        const double r0x = a00 - lam, r0y = a01, r0z = a02;
+        const double r1x = a01, r1y = a11 - lam, r1z = a12;
+        const double r2x = a02, r2y = a12, r2z = a22 - lam;
+        double c01x = r0y * r1z - r0z * r1y, c01y = r0z * r1x - r0x * r1z,
+               c01z = r0x * r1y - r0y * r1x;
+        double c02x = r0y * r2z - r0z * r2y, c02y = r0z * r2x - r0x * r2z,
+               c02z = r0x * r2y - r0y * r2x;
+        double c12x = r1y * r2z - r1z * r2y, c12y = r1z * r2x - r1x * r2z,
+               c12z = r1x * r2y - r1y * r2x;
+        double n01 = c01x * c01x + c01y * c01y + c01z * c01z;
+        double n02 = c02x * c02x + c02y * c02y + c02z * c02z;
+        double n12 = c12x * c12x + c12y * c12y + c12z * c12z;
+        double vx, vy, vz, nn;
+        if (n01 >= n02 && n01 >= n12) { vx = c01x; vy = c01y; vz = c01z; nn = n01; }
+        else if (n02 >= n12) { vx = c02x; vy = c02y; vz = c02z; nn = n02; }
+        else { vx = c12x; vy = c12y; vz = c12z; nn = n12; }
+        if (nn < 1e-20) { o[0] = 0; o[1] = 0; o[2] = 1; continue; }
+        const double s = 1.0 / std::sqrt(nn);
+        vx *= s; vy *= s; vz *= s;
+        if (vz < 0) { vx = -vx; vy = -vy; vz = -vz; }
+        o[0] = (float)vx; o[1] = (float)vy; o[2] = (float)vz;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Readahead prefetcher: a worker pool loads frames ahead of the consumer into
 // fixed slots; get() blocks until its frame is ready. Frames are consumed
 // roughly in order (SLAM playback), so eviction is by frame index.
@@ -195,8 +301,10 @@ struct Prefetcher {
     std::vector<std::string> paths;
     long cap;            // max points per frame (post-downsample)
     float voxel;         // > 0: voxel-downsample in the worker
+    float normals_r;     // > 0: compute radius normals in the worker
     long raw_cap;        // scratch capacity for raw points
     int window;          // number of readahead slots
+    std::vector<std::vector<float>> normal_slots;
     std::vector<std::vector<float>> slots;
     std::vector<long> counts;        // points in slot (-2 = empty, -1 = error)
     std::vector<int> slot_frame;     // frame index held by slot
@@ -208,14 +316,18 @@ struct Prefetcher {
     std::vector<std::thread> workers;
 
     Prefetcher(const char** p, int n, long cap_, int window_, int n_threads,
-               float voxel_ = 0.0f, long raw_cap_ = 0)
-        : cap(cap_), voxel(voxel_), raw_cap(raw_cap_ > 0 ? raw_cap_ : cap_),
-          window(window_) {
+               float voxel_ = 0.0f, long raw_cap_ = 0, float normals_r_ = 0.0f)
+        : cap(cap_), voxel(voxel_), normals_r(normals_r_),
+          raw_cap(raw_cap_ > 0 ? raw_cap_ : cap_), window(window_) {
         paths.assign(p, p + n);
         slots.resize(window);
         counts.assign(window, -2);
         slot_frame.assign(window, -1);
         for (auto& s : slots) s.resize(static_cast<size_t>(cap) * 3);
+        if (normals_r > 0) {
+            normal_slots.resize(window);
+            for (auto& s : normal_slots) s.resize(static_cast<size_t>(cap) * 3);
+        }
         for (int t = 0; t < n_threads; ++t)
             workers.emplace_back([this] { work(); });
     }
@@ -258,6 +370,9 @@ struct Prefetcher {
             } else {
                 cnt = load_ply_impl(path.c_str(), slots[slot].data(), cap);
             }
+            if (normals_r > 0 && cnt > 0)
+                normals_radius_impl(slots[slot].data(), cnt, normals_r,
+                                    normal_slots[slot].data());
             {
                 std::lock_guard<std::mutex> lk(mu);
                 counts[slot] = cnt;
@@ -267,14 +382,18 @@ struct Prefetcher {
         }
     }
 
-    long get(long frame, float* out) {
+    long get(long frame, float* out, float* out_normals = nullptr) {
         int slot = static_cast<int>(frame % window);
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return slot_frame[slot] == static_cast<int>(frame); });
         long cnt = counts[slot];
-        if (cnt > 0)
+        if (cnt > 0) {
             std::memcpy(out, slots[slot].data(),
                         static_cast<size_t>(cnt) * 3 * sizeof(float));
+            if (out_normals && normals_r > 0)
+                std::memcpy(out_normals, normal_slots[slot].data(),
+                            static_cast<size_t>(cnt) * 3 * sizeof(float));
+        }
         consumed.store(frame + 1);
         cv.notify_all();
         return cnt;
@@ -335,6 +454,22 @@ void* lidar_prefetch_create_voxel(const char** paths, int n, long cap,
                                   int window, int n_threads, float voxel,
                                   long raw_cap) {
     return new Prefetcher(paths, n, cap, window, n_threads, voxel, raw_cap);
+}
+
+void* lidar_prefetch_create_full(const char** paths, int n, long cap,
+                                 int window, int n_threads, float voxel,
+                                 long raw_cap, float normals_radius) {
+    return new Prefetcher(paths, n, cap, window, n_threads, voxel, raw_cap,
+                          normals_radius);
+}
+
+long lidar_prefetch_get_full(void* h, long frame, float* out_pts,
+                             float* out_normals) {
+    return static_cast<Prefetcher*>(h)->get(frame, out_pts, out_normals);
+}
+
+void lidar_normals_radius(const float* pts, long n, float radius, float* out) {
+    normals_radius_impl(pts, n, radius, out);
 }
 
 long lidar_prefetch_get(void* h, long frame, float* out) {
