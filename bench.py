@@ -145,15 +145,8 @@ def main() -> int:
         wall = min(wall, w)
     sps = frames / wall
 
-    ate = ate_rmse(eng.trajectory(), gt)
-    m = eng.metrics()
-    log(
-        f"{frames} scans in {wall:.2f}s -> {sps:.1f} scans/s | "
-        f"ATE {ate:.3f} m | loops {m['loop_count']} | "
-        f"mean ICP iters {m['icp_iters'][1:].mean():.1f} | "
-        f"mean ICP err {m['icp_error'][1:].mean():.3f}"
-    )
-
+    # JSON line FIRST (the driver's record) — the post-run summary below does
+    # device->host fetches that can hang on a flaky tunnel.
     print(
         json.dumps(
             {
@@ -162,8 +155,20 @@ def main() -> int:
                 "unit": "scans/s",
                 "vs_baseline": round(sps / 200.0, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    try:
+        ate = ate_rmse(eng.trajectory(), gt)
+        m = eng.metrics()
+        log(
+            f"{frames} scans in {wall:.2f}s -> {sps:.1f} scans/s | "
+            f"ATE {ate:.3f} m | loops {m['loop_count']} | "
+            f"mean ICP iters {m['icp_iters'][1:].mean():.1f} | "
+            f"mean ICP err {m['icp_error'][1:].mean():.3f}"
+        )
+    except Exception as e:  # summary is best-effort
+        log(f"summary failed: {e}")
     return 0
 
 
