@@ -137,7 +137,6 @@ def estimate_normals_radius(
         c -= 1
     radius = jnp.asarray(radius, pts.dtype)
     pts_m = jnp.where(mask[:, None], pts, 1.0e6)  # sentinel, never in radius
-    src_sq = jnp.sum(pts_m * pts_m, axis=-1)
 
     # per-target feature rows: [1, x, y, z, xx, yy, zz, xy, xz, yz]
     def feats(t):
@@ -148,11 +147,39 @@ def estimate_normals_radius(
         )
 
     def body(acc, tgt_c):
-        cross = jnp.matmul(pts_m, tgt_c.T, precision=jax.lax.Precision.HIGHEST)
-        d2 = src_sq[:, None] + jnp.sum(tgt_c * tgt_c, axis=-1)[None, :] - 2.0 * cross
-        m = (d2 < radius * radius).astype(pts.dtype)  # (N, c)
-        acc = acc + jnp.matmul(m, feats(tgt_c), precision=jax.lax.Precision.HIGHEST)
-        return acc, None
+        # Broadcast-difference distances: exact f32 on the VPU. The matmul
+        # expansion would need 6-pass HIGHEST precision at terrible K=8 MXU
+        # utilization — measured ~4x slower.
+        d2 = (
+            (pts_m[:, 0:1] - tgt_c[None, :, 0].reshape(1, -1)) ** 2
+            + (pts_m[:, 1:2] - tgt_c[None, :, 1].reshape(1, -1)) ** 2
+            + (pts_m[:, 2:3] - tgt_c[None, :, 2].reshape(1, -1)) ** 2
+        )
+        m = (d2 < radius * radius).astype(jnp.bfloat16)  # 0/1: exact in bf16
+        # three-way bf16 split of the features: three native-speed bf16
+        # matmuls reconstruct f32 accuracy. Second moments at 80 m range are
+        # ~6400 m^2 while the covariance signal is ~0.1 m^2; a two-way split
+        # still leaves ~0.06 m^2 of rounding per element — the third term
+        # brings it to ~2e-4.
+        # Three-way bf16 split via lax.reduce_precision: the naive
+        # `f - f.astype(bf16).astype(f32)` residual is FOLDED AWAY by XLA's
+        # allow_excess_precision pass on TPU (down/upcast pairs become
+        # identity), silently destroying the split. reduce_precision is a
+        # semantic op the compiler must honor.
+        f = feats(tgt_c)
+        f_hi32 = jax.lax.reduce_precision(f, exponent_bits=8, mantissa_bits=7)
+        r1 = f - f_hi32
+        f_mid32 = jax.lax.reduce_precision(r1, exponent_bits=8, mantissa_bits=7)
+        r2 = r1 - f_mid32
+        part = (
+            jnp.matmul(m, f_hi32.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+            + jnp.matmul(m, f_mid32.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            + jnp.matmul(m, r2.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        )
+        return acc + part, None
 
     chunks = pts_m.reshape(N // c, c, 3)
     acc0 = jnp.zeros((N, 10), pts.dtype)
