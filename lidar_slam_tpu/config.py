@@ -34,6 +34,13 @@ class ICPConfig:
     # a few thousand constraints, and the per-iteration 1-NN cost is linear
     # in source size. Error/fitness is then computed over the subsample.
     sample_points: int = 0
+    # Coarse-to-fine warm start: run this many fixed GN iterations on a
+    # ``coarse_sample``-point source subset before the main loop (correspondence
+    # cost is linear in source size; early iterations don't need density).
+    # 0 = off (reference behavior). Convergence bookkeeping covers the fine
+    # phase only.
+    coarse_iterations: int = 0
+    coarse_sample: int = 2048
 
 
 @dataclass(frozen=True)

@@ -102,14 +102,38 @@ def icp_point_to_plane(
     if init_transform is None:
         init_transform = se3.identity(src.points.dtype)
 
-    if 0 < config.sample_points < src.points.shape[0]:
+    def subsample(cloud: PointCloud, n_out: int) -> PointCloud:
         # strided subsample of the valid prefix (valid points are contiguous
         # after voxel downsampling)
-        n_out = config.sample_points
-        cnt = src.count()
+        cnt = cloud.count()
         j = jnp.arange(n_out)
         sel = jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
-        src = PointCloud(src.points[sel], src.mask[sel])
+        return PointCloud(cloud.points[sel], cloud.mask[sel])
+
+    full_src = src
+    if 0 < config.sample_points < src.points.shape[0]:
+        src = subsample(src, config.sample_points)
+
+    # Coarse warm start: a few fixed GN steps on a small source subset.
+    if config.coarse_iterations > 0 and config.coarse_sample < src.points.shape[0]:
+        csrc = subsample(full_src, config.coarse_sample)
+        cw = csrc.mask.astype(csrc.points.dtype)
+        cdenom = jnp.maximum(jnp.sum(cw), 1.0)
+
+        def coarse_body(i, T):
+            cur = se3.apply(T, csrc.points)
+            idx, _ = nn1_fn(cur, tgt.points, tgt.mask)
+            delta = solve_point_to_plane(
+                cur, tgt.points[idx], tgt_normals[idx], csrc.mask,
+                config.solver_damping,
+            )
+            return se3.compose(delta, T)
+
+        init_transform = jax.lax.fori_loop(
+            0, config.coarse_iterations, coarse_body,
+            jnp.asarray(init_transform, src.points.dtype),
+        )
+        del cw, cdenom
 
     w = src.mask.astype(src.points.dtype)
     denom = jnp.maximum(jnp.sum(w), 1.0)
