@@ -84,7 +84,7 @@ def main() -> int:
         # wall time and ATE both worsen at this operating point — off.
         icp=ICPConfig(sample_points=icp_sample, tolerance=icp_tol,
                       max_iterations=20),
-        lc=LoopClosureConfig(verify_sample=4096),
+        lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=icp_tol),
     )
     log(
         f"config: raw_cap={raw_cap} ds={ds_pts} lc={lc_pts} "

@@ -72,6 +72,7 @@ class LoopClosureConfig:
     # threshold (0.3) assumes full-density targets — keep DB clouds at full
     # resolution and sample only the query side for speed.
     verify_sample: int = 0
+    verify_tolerance: float = 1e-6     # verify-ICP |delta-error| tolerance
 
 
 @dataclass(frozen=True)
@@ -94,7 +95,7 @@ class PoseGraphConfig:
     absolute_error_tol: float = 1e-5
     # TPU-native solver knobs (no reference analog — GTSAM used direct solves):
     cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
-    cg_tolerance: float = 1e-8
+    cg_tolerance: float = 1e-10        # relative to |b|^2
     lambda_init: float = 1e-5          # GTSAM LevenbergMarquardtParams default
     lambda_factor: float = 10.0
     lambda_max: float = 1e7

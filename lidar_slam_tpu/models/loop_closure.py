@@ -38,18 +38,23 @@ import jax.numpy as jnp
 from ..config import ICPConfig, LoopClosureConfig, ScanContextConfig
 from ..ops import se3
 from ..ops.icp import icp_point_to_plane
-from ..ops.normals import estimate_normals, estimate_normals_radius
 from ..ops.scan_context import sc_distances, scan_context, shift_to_yaw
 from ..types import PointCloud
 
 
 class KeyframeDB(NamedTuple):
-    """Per-frame keyframe storage (loop_closure.hpp:53-59, 143-148)."""
+    """Per-frame keyframe storage (loop_closure.hpp:53-59, 143-148).
+
+    ``normals`` caches each scan's per-point normals so loop verification
+    reuses them — the reference recomputes target normals inside every
+    verification ICP (icp.hpp:166-171); here they're already computed once
+    per scan by the odometry step."""
 
     desc: jnp.ndarray        # (F, R, S)
     desc_norm: jnp.ndarray   # (F,)
     clouds: jnp.ndarray      # (F, N, 3)
     cloud_mask: jnp.ndarray  # (F, N)
+    normals: jnp.ndarray     # (F, N, 3)
     in_db: jnp.ndarray       # (F,) bool — frame was addFrame'd
     last_frame: jnp.ndarray  # () int32 — most recently added frame (-1 = none)
 
@@ -60,9 +65,17 @@ def init_db(max_frames: int, n_points: int, sc: ScanContextConfig) -> KeyframeDB
         desc_norm=jnp.zeros((max_frames,), jnp.float32),
         clouds=jnp.zeros((max_frames, n_points, 3), jnp.float32),
         cloud_mask=jnp.zeros((max_frames, n_points), bool),
+        normals=jnp.zeros((max_frames, n_points, 3), jnp.float32),
         in_db=jnp.zeros((max_frames,), bool),
         last_frame=jnp.int32(-1),
     )
+
+
+def subsample_idx(cloud: PointCloud, n_out: int) -> jnp.ndarray:
+    """Strided subsample indices over the valid prefix (spatially fair)."""
+    cnt = cloud.count()
+    j = jnp.arange(n_out)
+    return jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
 
 
 def subsample(cloud: PointCloud, n_out: int) -> PointCloud:
@@ -75,15 +88,8 @@ def subsample(cloud: PointCloud, n_out: int) -> PointCloud:
     n_in = cloud.points.shape[0]
     if n_out >= n_in:
         return cloud
-    cnt = cloud.count()
-    # stride over the valid prefix: idx_j = floor(j * cnt / n_out) for cnt > n_out
-    j = jnp.arange(n_out)
-    idx = jnp.where(
-        cnt > n_out, (j * cnt) // n_out, j
-    ).astype(jnp.int32)
-    pts = cloud.points[idx]
-    msk = cloud.mask[idx]
-    return PointCloud(pts, msk)
+    idx = subsample_idx(cloud, n_out)
+    return PointCloud(cloud.points[idx], cloud.mask[idx])
 
 
 def add_frame(
@@ -92,19 +98,33 @@ def add_frame(
     frame: jnp.ndarray,
     sc_cfg: ScanContextConfig,
     enabled: jnp.ndarray | bool = True,
+    normals: jnp.ndarray | None = None,
 ) -> KeyframeDB:
     """addFrame (loop_closure.hpp:53-59): descriptor + cloud + index.
 
     ``enabled=False`` consumes no slot (frame-skip path, slam_node.cpp:125-130
-    returns before addFrame).
+    returns before addFrame). ``normals``: the scan's per-point normals
+    (same indexing as ``cloud``) cached for verification ICP.
     """
     enabled = jnp.asarray(enabled)
     # Descriptor from the FULL downsampled cloud (the reference computes SC on
     # the whole cloud, loop_closure.hpp:54); only the stored verification
     # cloud is capacity-subsampled.
     desc = scan_context(cloud.points, cloud.mask, sc_cfg)
-    cl = subsample(cloud, db.clouds.shape[1])
     norm = jnp.sqrt(jnp.sum(desc * desc))
+    n_out = db.clouds.shape[1]
+    if n_out >= cloud.points.shape[0]:
+        cl, nrm = cloud, normals
+    else:
+        idx = subsample_idx(cloud, n_out)
+        cl = PointCloud(cloud.points[idx], cloud.mask[idx])
+        nrm = normals[idx] if normals is not None else None
+    if nrm is None:
+        # standalone API: estimate here (reference k=20 semantics,
+        # icp.hpp:23-67); the engine passes its cached per-scan normals
+        from ..ops.normals import estimate_normals
+
+        nrm = estimate_normals(cl.points, cl.mask, k=20)
     f = frame.astype(jnp.int32)
     return db._replace(
         desc=db.desc.at[f].set(jnp.where(enabled, desc, db.desc[f])),
@@ -113,6 +133,7 @@ def add_frame(
         cloud_mask=db.cloud_mask.at[f].set(
             jnp.where(enabled, cl.mask, db.cloud_mask[f])
         ),
+        normals=db.normals.at[f].set(jnp.where(enabled, nrm, db.normals[f])),
         in_db=db.in_db.at[f].set(jnp.where(enabled, True, db.in_db[f])),
         last_frame=jnp.where(enabled, f, db.last_frame),
     )
@@ -129,12 +150,11 @@ class LoopDetections(NamedTuple):
     icp_fitness: jnp.ndarray  # (K,)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg", "normal_radius"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg"))
 def detect(
     db: KeyframeDB,
     cfg: LoopClosureConfig = LoopClosureConfig(),
     sc_cfg: ScanContextConfig = ScanContextConfig(),
-    normal_radius: float = 0.0,
 ) -> LoopDetections:
     """detect() for the most recently added frame (loop_closure.hpp:66-126)."""
     F = db.desc.shape[0]
@@ -170,7 +190,7 @@ def detect(
     query_cloud = PointCloud(db.clouds[q_safe], db.cloud_mask[q_safe])
     icp_cfg = ICPConfig(
         max_iterations=cfg.icp_max_iterations,
-        tolerance=1e-6,
+        tolerance=cfg.verify_tolerance,
         sample_points=cfg.verify_sample,
     )
 
@@ -186,12 +206,9 @@ def detect(
 
     def verify(ci, T0):
         tgt = PointCloud(db.clouds[ci], db.cloud_mask[ci])
-        if normal_radius > 0:
-            tgt_normals = estimate_normals_radius(
-                tgt.points, tgt.mask, radius=normal_radius
-            )
-        else:
-            tgt_normals = estimate_normals(tgt.points, tgt.mask, k=icp_cfg.normal_k)
+        # normals cached at addFrame time (the reference recomputes them per
+        # verification, icp.hpp:166-171 — pure waste)
+        tgt_normals = db.normals[ci]
         res = icp_point_to_plane(query_cloud, tgt, tgt_normals, icp_cfg, T0)
         return res.transformation, res.converged, res.final_error
 

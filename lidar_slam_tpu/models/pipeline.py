@@ -235,7 +235,7 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
         else:
             normals = normals_fn(curr.points, curr.mask)
         db = _store_frame_cloud(state.db, curr, frame)
-        db = lc.add_frame(db, curr, frame, config.sc, enabled=ok)
+        db = lc.add_frame(db, curr, frame, config.sc, enabled=ok, normals=normals)
 
         return state._replace(
             pg=pg_state,
@@ -257,10 +257,6 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
 def make_loop_fn(config: SlamConfig):
     """Loop detection + factor insertion (slam_node.cpp:159-167)."""
 
-    nrad = (
-        config.effective_normal_radius if config.normal_method == "radius" else 0.0
-    )
-
     def optimize_body(state: SlamState):
         res = pg.optimize(state.pg, config.pg)
         idx = jnp.arange(state.poses.shape[0])
@@ -271,7 +267,7 @@ def make_loop_fn(config: SlamConfig):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def loop_fn(state: SlamState):
-        det = lc.detect(state.db, config.lc, config.sc, normal_radius=nrad)
+        det = lc.detect(state.db, config.lc, config.sc)
 
         def add_one(k, pg_state):
             return pg.add_loop(

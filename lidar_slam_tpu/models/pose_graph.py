@@ -197,11 +197,16 @@ def graph_error(state: PoseGraphState, cfg: PoseGraphConfig) -> jnp.ndarray:
 
 
 def _cg_solve(matvec, b, iters: int, tol: float):
-    """Conjugate gradient on the damped normal equations (matrix-free)."""
+    """Conjugate gradient on the damped normal equations (matrix-free).
+
+    ``tol`` is relative to |b|^2 — whitened residual magnitudes vary by
+    orders of magnitude across graph sizes, so an absolute threshold either
+    never fires or fires immediately."""
     x0 = jnp.zeros_like(b)
     r0 = b  # b - A@0
     p0 = r0
     rs0 = jnp.vdot(r0, r0)
+    tol = tol * jnp.maximum(rs0, 1e-30)
 
     def cond(c):
         i, _, _, _, rs = c
