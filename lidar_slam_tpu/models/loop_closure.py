@@ -212,7 +212,22 @@ def detect(
         res = icp_point_to_plane(query_cloud, tgt, tgt_normals, icp_cfg, T0)
         return res.transformation, res.converged, res.final_error
 
-    tf, conv, fit = jax.vmap(verify)(cand_idx, init_T)
+    def run_verify(_):
+        return jax.vmap(verify)(cand_idx, init_T)
+
+    def skip_verify(_):
+        return (
+            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
+            jnp.zeros((K,), bool),
+            jnp.full((K,), jnp.inf, jnp.float32),
+        )
+
+    # Verification only runs when retrieval produced a candidate — most
+    # detection passes find nothing, and the 3 vmapped 30-iteration ICPs cost
+    # ~90 ms (lax.cond executes one branch at runtime).
+    tf, conv, fit = jax.lax.cond(
+        jnp.any(cand_valid), run_verify, skip_verify, operand=None
+    )
     accepted = cand_valid & conv & (fit < cfg.icp_fitness_threshold)
 
     return LoopDetections(
