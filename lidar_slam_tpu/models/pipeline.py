@@ -258,7 +258,11 @@ def make_loop_fn(config: SlamConfig):
     """Loop detection + factor insertion (slam_node.cpp:159-167)."""
 
     def optimize_body(state: SlamState):
-        res = pg.optimize(state.pg, config.pg)
+        # Warm start from the engine's current estimates (which include any
+        # previous optimization) instead of the raw odometry chain the
+        # reference re-optimizes from (pose_graph.cpp:159) — the optimum is
+        # identical, LM just gets there in a fraction of the iterations.
+        res = pg.optimize(state.pg._replace(poses=state.poses), config.pg)
         idx = jnp.arange(state.poses.shape[0])
         poses = jnp.where(
             (idx < state.n_poses)[:, None, None], res.poses, state.poses
@@ -303,7 +307,7 @@ def make_optimize_fn(config: SlamConfig):
     The grid is intentionally NOT rebuilt here (reference quirk #7)."""
 
     def optimize_body(state: SlamState):
-        res = pg.optimize(state.pg, config.pg)
+        res = pg.optimize(state.pg._replace(poses=state.poses), config.pg)
         idx = jnp.arange(state.poses.shape[0])
         poses = jnp.where(
             (idx < state.n_poses)[:, None, None], res.poses, state.poses
@@ -320,26 +324,54 @@ def make_finalize_fn(config: SlamConfig):
     rebuild_occupancy_grid :223-229)."""
 
     def optimize_body(state: SlamState):
-        res = pg.optimize(state.pg, config.pg)
+        res = pg.optimize(state.pg._replace(poses=state.poses), config.pg)
         idx = jnp.arange(state.poses.shape[0])
         poses = jnp.where(
             (idx < state.n_poses)[:, None, None], res.poses, state.poses
         )
         return state._replace(poses=poses, pending_optimize=jnp.bool_(False)), res
 
+    BLOCK = 16  # frames per rebuild scatter (one big scatter beats F serial ones)
+
     @functools.partial(jax.jit, donate_argnums=0)
     def finalize_fn(state: SlamState):
         state, res = optimize_body(state)
 
-        def body(f, grid):
-            pose = state.poses[f]
-            world = se3.apply(pose, state.db.clouds[f])
-            m = state.db.cloud_mask[f] & (f < state.n_poses)
-            return update_occupancy(grid, world, m, se3.trans(pose)[:2], config.grid)
+        F = state.poses.shape[0]
+        n_blocks = (F + BLOCK - 1) // BLOCK
 
-        grid = jax.lax.fori_loop(
-            0, state.poses.shape[0], body, jnp.zeros_like(state.grid)
-        )
+        def body(b, grid):
+            f0 = b * BLOCK
+            fs = f0 + jnp.arange(BLOCK)
+            poses_b = jax.lax.dynamic_slice_in_dim(state.poses, f0, BLOCK)
+            clouds_b = jax.lax.dynamic_slice_in_dim(state.db.clouds, f0, BLOCK)
+            masks_b = jax.lax.dynamic_slice_in_dim(state.db.cloud_mask, f0, BLOCK)
+            world = se3.apply(poses_b, clouds_b).reshape(-1, 3)
+            m = (masks_b & (fs < state.n_poses)[:, None]).reshape(-1)
+            # sensor position varies per frame; expand to per-point
+            sensor = jnp.repeat(
+                se3.trans(poses_b)[:, :2], clouds_b.shape[1], axis=0
+            )
+            # update_occupancy takes one sensor; inline the per-point filter
+            x, y, z = world[:, 0], world[:, 1], world[:, 2]
+            dx = x - sensor[:, 0]
+            dy = y - sensor[:, 1]
+            r = jnp.sqrt(dx * dx + dy * dy)
+            gc = config.grid
+            keep = (
+                m
+                & (z >= gc.height_min) & (z <= gc.height_max)
+                & (r <= gc.max_range) & (r >= gc.min_range)
+            )
+            D = gc.grid_dim
+            cx = jnp.floor(x / gc.resolution).astype(jnp.int32) + D // 2
+            cy = jnp.floor(y / gc.resolution).astype(jnp.int32) + D // 2
+            keep = keep & (cx >= 0) & (cx < D) & (cy >= 0) & (cy < D)
+            cx = jnp.where(keep, cx, 0)
+            cy = jnp.where(keep, cy, 0)
+            return grid.at[cx, cy].max(keep.astype(jnp.uint8))
+
+        grid = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(state.grid))
         return state._replace(grid=grid), res
 
     return finalize_fn
