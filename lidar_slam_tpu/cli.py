@@ -69,6 +69,10 @@ def cmd_run(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from .models.pipeline import SlamEngine
     from .utils import export
@@ -293,6 +297,8 @@ def main(argv=None) -> int:
                    help="resume from a checkpoint.npz (same config required)")
     r.add_argument("--profile", default="",
                    help="write a jax.profiler trace to this directory")
+    r.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (slow; for numeric debugging)")
     r.set_defaults(fn=cmd_run)
 
     b = sub.add_parser(
