@@ -254,8 +254,13 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
     return step_fn
 
 
-def make_loop_fn(config: SlamConfig):
-    """Loop detection + factor insertion (slam_node.cpp:159-167)."""
+def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
+    """Loop detection + factor insertion (slam_node.cpp:159-167).
+
+    ``in_graph_optimize=False`` skips the lax.cond-gated optimization — use
+    for vmapped/batched execution, where cond lowers to select and would pay
+    for the optimizer on every detection pass; trigger optimization from the
+    host instead."""
 
     def optimize_body(state: SlamState):
         # Warm start from the engine's current estimates (which include any
@@ -295,7 +300,8 @@ def make_loop_fn(config: SlamConfig):
         # lax.cond executes only the taken branch at runtime, and keeping the
         # trigger on device avoids a host sync (~50 ms over a TPU tunnel)
         # per detection pass.
-        state = jax.lax.cond(n_found > 0, optimize_body, lambda s: s, state)
+        if in_graph_optimize:
+            state = jax.lax.cond(n_found > 0, optimize_body, lambda s: s, state)
         return state, det
 
     return loop_fn

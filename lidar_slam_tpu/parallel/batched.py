@@ -33,7 +33,9 @@ def make_batched_fns(config: SlamConfig, mesh: Optional[Mesh] = None,
     """
     init = jax.vmap(pipe.make_init_fn(config))
     step = jax.vmap(pipe.make_step_fn(config))
-    loop = jax.vmap(pipe.make_loop_fn(config))
+    # host-triggered optimize: under vmap the in-graph lax.cond lowers to a
+    # select that would run the optimizer on every detection pass
+    loop = jax.vmap(pipe.make_loop_fn(config, in_graph_optimize=False))
     optimize = jax.vmap(pipe.make_optimize_fn(config))
     finalize = jax.vmap(pipe.make_finalize_fn(config))
 
