@@ -110,6 +110,12 @@ def icp_point_to_plane(
         sel = jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
         return PointCloud(cloud.points[sel], cloud.mask[sel])
 
+    # Displace invalid source rows to the far sentinel: their contributions
+    # are weight-masked everywhere, but tile-extent-based backends (slab
+    # pruning) must not see padding at the origin polluting tile bounds.
+    src = PointCloud(
+        jnp.where(src.mask[:, None], src.points, 1.0e6), src.mask
+    )
     full_src = src
     if 0 < config.sample_points < src.points.shape[0]:
         src = subsample(src, config.sample_points)

@@ -173,14 +173,22 @@ long voxel_downsample_impl(const float* pts, long n, float voxel, float* out,
         a.z += z;
         a.cnt += 1;
     }
-    long m = 0;
-    for (const auto& kv : map) {
-        if (m >= cap) break;
-        const Acc& a = kv.second;
-        out[m * 3] = static_cast<float>(a.x / a.cnt);
-        out[m * 3 + 1] = static_cast<float>(a.y / a.cnt);
-        out[m * 3 + 2] = static_cast<float>(a.z / a.cnt);
-        ++m;
+    // Emit in ascending key order (x-major): consumers rely on x-sorted
+    // clouds for slab-pruned correspondence search (ops/slab_nn.py), matching
+    // the device voxel kernel's sorted output. When over capacity, keep an
+    // evenly strided subset (spatially fair).
+    std::vector<std::pair<long long, const Acc*>> items;
+    items.reserve(map.size());
+    for (const auto& kv : map) items.emplace_back(kv.first, &kv.second);
+    std::sort(items.begin(), items.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    const long total = static_cast<long>(items.size());
+    const long m = total < cap ? total : cap;
+    for (long i = 0; i < m; ++i) {
+        const Acc& a = *items[total <= cap ? i : (i * total) / cap].second;
+        out[i * 3] = static_cast<float>(a.x / a.cnt);
+        out[i * 3 + 1] = static_cast<float>(a.y / a.cnt);
+        out[i * 3 + 2] = static_cast<float>(a.z / a.cnt);
     }
     return m;
 }
