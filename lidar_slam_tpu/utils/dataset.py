@@ -88,11 +88,16 @@ def _overlap_for(n_frames: int) -> int:
     return max(n_frames // 8, 4)
 
 
+def _frames_per_lap(n_frames: int) -> int:
+    # at least 30 frames per lap (<= 12 deg yaw/frame — identity-init ICP
+    # cannot track sharper); short datasets become an arc, not a full loop
+    return max(n_frames - _overlap_for(n_frames), 30)
+
+
 def route_half_for(n_frames: int, step: float = 1.2) -> float:
     """Route radius such that the loop closes within ``n_frames`` at a
     KITTI-like ~1.2 m/frame step."""
-    laps = max(n_frames - _overlap_for(n_frames), 4)
-    return max(laps * step / (2.0 * np.pi), 6.0)
+    return max(_frames_per_lap(n_frames) * step / (2.0 * np.pi), 6.0)
 
 
 def generate_trajectory(n_frames: int, half: float | None = None, height: float = 1.8):
@@ -107,8 +112,7 @@ def generate_trajectory(n_frames: int, half: float | None = None, height: float 
     """
     if half is None:
         half = route_half_for(n_frames)
-    overlap = _overlap_for(n_frames)
-    ang = 2.0 * np.pi * np.arange(n_frames) / max(n_frames - overlap, 4)
+    ang = 2.0 * np.pi * np.arange(n_frames) / _frames_per_lap(n_frames)
     xy = np.stack([half * np.cos(ang), half * np.sin(ang)], axis=1)
     yaw = ang + np.pi / 2.0  # tangent direction (counter-clockwise)
 
