@@ -25,7 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from .knn import SENTINEL
 from .grid_nn import _searchsorted_left

@@ -18,7 +18,6 @@ ops.knn.nn1.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

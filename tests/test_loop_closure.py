@@ -100,3 +100,57 @@ def test_subsample_strided(rng):
     idx0 = np.asarray(out.points[0])
     np.testing.assert_allclose(idx0, pts[0])
     assert not np.allclose(np.asarray(out.points[31]), pts[31])
+
+
+def test_yaw_seed_improves_rotated_revisit(rng):
+    """A revisit with a large yaw: identity-init verification struggles, the
+    SC-best-shift yaw seed (improvement over the reference, quirk #8)
+    recovers the transform."""
+    world = generate_world(3, route_half=8.0)
+    base = np.eye(4, dtype=np.float32)
+    base[:3, 3] = [4.0, 2.0, 1.8]
+    # revisit same place rotated by 100 degrees
+    yaw = np.deg2rad(100.0)
+    c, s = np.cos(yaw), np.sin(yaw)
+    revisit = base.copy()
+    revisit[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    scans = [
+        render_scan(world, base, rng, max_range=25.0, max_points=3000)
+    ]
+    # spacer frames far away (keep the DB populated without matches)
+    for i in range(6):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [40.0 + 3 * i, 40.0, 1.8]
+        scans.append(render_scan(world, T, rng, max_range=25.0, max_points=3000))
+    scans.append(render_scan(world, revisit, rng, max_range=25.0, max_points=3000))
+
+    sc_cfg = ScanContextConfig()
+
+    def run(yaw_seed):
+        cfg = LoopClosureConfig(
+            frame_gap=5, sc_distance_threshold=0.5,
+            icp_fitness_threshold=0.7, icp_max_iterations=25,
+            yaw_seed=yaw_seed,
+        )
+        db = lc.init_db(16, 4096, sc_cfg)
+        for f, scan in enumerate(scans):
+            db = lc.add_frame(db, to_pc(scan, 4096), jnp.int32(f), sc_cfg)
+        return lc.detect(db, cfg, sc_cfg)
+
+    det_seed = run(True)
+    acc = np.asarray(det_seed.accepted)
+    assert acc.any(), (
+        np.asarray(det_seed.sc_distance), np.asarray(det_seed.icp_fitness)
+    )
+    best = int(np.argmax(acc))
+    assert int(det_seed.match_frame[best]) == 0
+    # the recovered transform must encode ~the applied yaw
+    from lidar_slam_tpu.ops import se3 as _se3
+
+    T_true = np.linalg.inv(base) @ revisit
+    err = np.asarray(
+        _se3.log(jnp.asarray(np.asarray(det_seed.transform[best]) @
+                             np.linalg.inv(T_true), jnp.float32))
+    )
+    assert np.abs(err[2]) < 0.15, err  # yaw recovered
