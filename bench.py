@@ -36,7 +36,9 @@ def log(msg):
 
 
 def main() -> int:
-    frames = int(os.environ.get("BENCH_FRAMES", 240))
+    # 600 frames ~= a KITTI-like regime (gentle per-frame yaw on a large
+    # route); shorter runs have disproportionate turn-rate and aux costs.
+    frames = int(os.environ.get("BENCH_FRAMES", 600))
     raw_pts = int(os.environ.get("BENCH_POINTS", 32768))
     ds_pts = int(os.environ.get("BENCH_DS", 16384))
     lc_pts = int(os.environ.get("BENCH_LC", 0))
@@ -58,7 +60,7 @@ def main() -> int:
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
     half = route_half_for(frames)
-    world = generate_world(0, route_half=half, n_buildings=40)
+    world = generate_world(0, route_half=half)
     gt = generate_trajectory(frames, half=half)
     rng = np.random.default_rng(0)
     log(f"rendering {frames} scans ({raw_pts} pts, route radius {half:.0f} m)...")

@@ -21,7 +21,7 @@ from .io import save_ply
 def generate_world(
     seed: int = 0,
     route_half: float = 25.0,
-    n_buildings: int = 24,
+    n_buildings: int | None = None,
     ground_step: float = 0.35,
 ) -> np.ndarray:
     """Static world point cloud: ground + axis-aligned building walls + poles.
@@ -31,9 +31,16 @@ def generate_world(
     """
     rng = np.random.default_rng(seed)
     extent = route_half * 2.2 + 15.0
+    if n_buildings is None:
+        # scale structure density with area — a sparse world is perceptually
+        # self-similar and produces false Scan Context matches
+        n_buildings = max(24, int(extent * extent / 450.0))
     pts = []
 
-    # ground plane with mild height noise
+    # ground plane with mild height noise; cap total ground points so large
+    # worlds stay fast to render (still ~2 points per 0.5 m voxel near the
+    # sensor at the cap)
+    ground_step = max(ground_step, 2.0 * extent / 1100.0)
     g = np.arange(-extent, extent, ground_step)
     gx, gy = np.meshgrid(g, g)
     ground = np.stack(
@@ -52,8 +59,9 @@ def generate_world(
                 scale = max((route_half - 9), 1.0) / max(ring, 1e-3)
             cx *= scale
             cy *= scale
-        w, d = rng.uniform(4, 12, 2)
-        h = rng.uniform(4, 10)
+        # wide size diversity -> distinctive local skylines (anti-aliasing)
+        w, d = rng.uniform(3, 18, 2)
+        h = rng.uniform(3, 14)
         density = 3.0  # pts / m^2
         for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
             if axis == 0:  # wall at x = cx +/- w/2, spanning y
@@ -71,7 +79,7 @@ def generate_world(
             pts.append(np.stack([x, y, z], axis=1))
 
     # poles / trees near the route for mid-range structure
-    for _ in range(60):
+    for _ in range(max(60, int(extent))):
         px, py = rng.uniform(-extent, extent, 2)
         n = 30
         z = rng.uniform(0, 4, n)
