@@ -44,6 +44,10 @@ def main() -> int:
     lc_pts = int(os.environ.get("BENCH_LC", 0))
     icp_sample = int(os.environ.get("BENCH_SAMPLE", 8192))
     icp_tol = float(os.environ.get("BENCH_TOL", 1e-4))
+    knn_backend = os.environ.get("BENCH_KNN", "auto")
+    # stride=2 halves normals compute but noisier normals cost more ICP
+    # iterations (5.8 vs 4.6) — net loss; keep full resolution.
+    normal_stride = int(os.environ.get("BENCH_NSTRIDE", 1))
 
     import jax
 
@@ -87,6 +91,8 @@ def main() -> int:
         icp=ICPConfig(sample_points=icp_sample, tolerance=icp_tol,
                       max_iterations=20),
         lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=icp_tol),
+        knn_backend=knn_backend,
+        normal_stride=normal_stride,
     )
     log(
         f"config: raw_cap={raw_cap} ds={ds_pts} lc={lc_pts} "

@@ -157,6 +157,9 @@ class SlamConfig:
     # (icp.hpp:23-67). Radius 0 = auto (2.4 * voxel_size).
     normal_method: str = "radius"
     normal_radius: float = 0.0
+    # >1: compute normals on every stride-th (sorted) point, replicate to
+    # neighbors — halves the dominant normals cost at stride=2.
+    normal_stride: int = 1
 
     @property
     def effective_normal_radius(self) -> float:

@@ -81,7 +81,10 @@ def _normals_fn(config: SlamConfig) -> Callable:
         # (the kernel's K=8 / N=16 matmuls starve the MXU; measured 6.5 ms vs
         # 167 ms at 16k points on v5e) — keep the XLA path as default.
         r = config.effective_normal_radius
-        return lambda pts, mask: estimate_normals_radius(pts, mask, radius=r)
+        st = config.normal_stride
+        return lambda pts, mask: estimate_normals_radius(
+            pts, mask, radius=r, stride=st
+        )
     k = config.icp.normal_k
     return lambda pts, mask: estimate_normals(pts, mask, k=k)
 

@@ -106,12 +106,13 @@ def estimate_normals(
     return jnp.where(degenerate[..., None], up, n)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "stride"))
 def estimate_normals_radius(
     pts: jnp.ndarray,
     mask: jnp.ndarray,
     radius: float | jnp.ndarray = 1.0,
     chunk: int = 4096,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """Radius-neighborhood PCA normals as pure MXU moment accumulation.
 
@@ -130,13 +131,27 @@ def estimate_normals_radius(
     voxel-downsampled clouds with radius ~2-3 voxels the estimated planes are
     equivalent; tests check agreement on analytic surfaces. Rows with < 3
     neighbors (or invalid) get (0, 0, 1), matching the reference fallback.
+
+    ``stride > 1``: compute normals for every stride-th point and replicate
+    to the skipped rows — clouds are voxel-key sorted, so adjacent rows are
+    spatial neighbors and the normal field is smooth at voxel scale. Halves
+    (stride=2) the dominant moment-accumulation cost.
     """
     N = pts.shape[0]
+    radius = jnp.asarray(radius, pts.dtype)
+    pts_m_full = jnp.where(mask[:, None], pts, 1.0e6)  # sentinel, never in radius
+    if stride > 1:
+        sub = estimate_normals_radius(
+            pts[::stride], mask[::stride], radius, chunk, stride=1
+        )
+        n = jnp.repeat(sub, stride, axis=0)[:N]
+        # replicated rows keep their own validity fallback
+        up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], pts.dtype), n.shape)
+        return jnp.where(mask[:, None], n, up)
     c = min(chunk, N)
     while N % c:
         c -= 1
-    radius = jnp.asarray(radius, pts.dtype)
-    pts_m = jnp.where(mask[:, None], pts, 1.0e6)  # sentinel, never in radius
+    pts_m = pts_m_full
 
     # per-target feature rows: [1, x, y, z, xx, yy, zz, xy, xz, yz]
     def feats(t):
