@@ -204,30 +204,22 @@ def detect(
     else:
         init_T = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
 
-    def verify(ci, T0):
+    # Per-candidate gating: invalid candidates start the verify ICP already
+    # converged, so its while_loop exits immediately — most detection passes
+    # find nothing, and running the 3 vmapped 30-iteration ICPs regardless
+    # costs ~90 ms. (A lax.cond gate was tried first: branches capturing the
+    # multi-GB cloud DB crash the TPU compiler at KITTI-scale shapes.)
+    def verify(ci, T0, skip):
         tgt = PointCloud(db.clouds[ci], db.cloud_mask[ci])
         # normals cached at addFrame time (the reference recomputes them per
         # verification, icp.hpp:166-171 — pure waste)
         tgt_normals = db.normals[ci]
-        res = icp_point_to_plane(query_cloud, tgt, tgt_normals, icp_cfg, T0)
+        res = icp_point_to_plane(
+            query_cloud, tgt, tgt_normals, icp_cfg, T0, inactive=skip
+        )
         return res.transformation, res.converged, res.final_error
 
-    def run_verify(_):
-        return jax.vmap(verify)(cand_idx, init_T)
-
-    def skip_verify(_):
-        return (
-            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
-            jnp.zeros((K,), bool),
-            jnp.full((K,), jnp.inf, jnp.float32),
-        )
-
-    # Verification only runs when retrieval produced a candidate — most
-    # detection passes find nothing, and the 3 vmapped 30-iteration ICPs cost
-    # ~90 ms (lax.cond executes one branch at runtime).
-    tf, conv, fit = jax.lax.cond(
-        jnp.any(cand_valid), run_verify, skip_verify, operand=None
-    )
+    tf, conv, fit = jax.vmap(verify)(cand_idx, init_T, ~cand_valid)
     accepted = cand_valid & conv & (fit < cfg.icp_fitness_threshold)
 
     return LoopDetections(

@@ -278,17 +278,16 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
     for the optimizer on every detection pass; trigger optimization from the
     host instead."""
 
-    def optimize_body(state: SlamState):
+    def optimize_small(args):
         # Warm start from the engine's current estimates (which include any
         # previous optimization) instead of the raw odometry chain the
         # reference re-optimizes from (pose_graph.cpp:159) — the optimum is
         # identical, LM just gets there in a fraction of the iterations.
-        res = pg.optimize(state.pg._replace(poses=state.poses), config.pg)
-        idx = jnp.arange(state.poses.shape[0])
-        poses = jnp.where(
-            (idx < state.n_poses)[:, None, None], res.poses, state.poses
-        )
-        return state._replace(poses=poses, pending_optimize=jnp.bool_(False))
+        poses, pg_state, n_poses = args
+        res = pg.optimize(pg_state._replace(poses=poses), config.pg)
+        idx = jnp.arange(poses.shape[0])
+        new_poses = jnp.where((idx < n_poses)[:, None, None], res.poses, poses)
+        return new_poses, pg_state, n_poses
 
     @functools.partial(jax.jit, donate_argnums=0)
     def loop_fn(state: SlamState):
@@ -315,9 +314,19 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
         # Optimize in-graph when a loop was found (slam_node.cpp:112-115).
         # lax.cond executes only the taken branch at runtime, and keeping the
         # trigger on device avoids a host sync (~50 ms over a TPU tunnel)
-        # per detection pass.
+        # per detection pass. The cond carries ONLY the small pose/factor
+        # arrays — branches capturing the multi-GB cloud DB crash the TPU
+        # compiler at KITTI-scale shapes.
         if in_graph_optimize:
-            state = jax.lax.cond(n_found > 0, optimize_body, lambda s: s, state)
+            poses, _, _ = jax.lax.cond(
+                n_found > 0,
+                optimize_small,
+                lambda args: args,
+                (state.poses, state.pg, state.n_poses),
+            )
+            state = state._replace(
+                poses=poses, pending_optimize=jnp.bool_(False)
+            )
         return state, det
 
     return loop_fn

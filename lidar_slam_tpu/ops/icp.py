@@ -90,11 +90,17 @@ def icp_point_to_plane(
     config: ICPConfig = ICPConfig(),
     init_transform: Optional[jnp.ndarray] = None,
     nn1_fn: Optional[Callable] = None,
+    inactive=None,
 ) -> ICPResult:
     """Register ``src`` onto ``tgt``: returns T with T(src) ~= tgt.
 
     ``nn1_fn(src_pts, tgt_pts, tgt_mask) -> (idx, dist2)`` is injectable so the
     engine can swap in the Pallas 1-NN kernel on TPU.
+
+    ``inactive``: traced bool — when True the iteration loop is skipped (the
+    while_loop starts converged) and only the final correspondence pass runs.
+    Cheap runtime gating without lax.cond (whose branches capturing multi-GB
+    buffers crash the TPU compiler at large shapes).
     """
     if nn1_fn is None:
         nn1_fn = lambda s, t, m: nn1(s, t, m)
@@ -163,11 +169,14 @@ def icp_point_to_plane(
         T_new = jnp.where(conv, c.T, se3.compose(delta, c.T))
         return _Carry(c.it + 1, T_new, err, conv, hist)
 
+    start_conv = (
+        jnp.bool_(False) if inactive is None else jnp.asarray(inactive, bool)
+    )
     init = _Carry(
         it=jnp.int32(0),
         T=jnp.asarray(init_transform, src.points.dtype),
         prev_err=jnp.asarray(jnp.inf, src.points.dtype),
-        converged=jnp.bool_(False),
+        converged=start_conv,
         hist=jnp.zeros((max_it + 1,), src.points.dtype),
     )
     out = jax.lax.while_loop(cond, body, init)
