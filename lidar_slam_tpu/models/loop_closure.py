@@ -204,11 +204,13 @@ def detect(
     else:
         init_T = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
 
-    # Per-candidate gating: invalid candidates start the verify ICP already
-    # converged, so its while_loop exits immediately — most detection passes
-    # find nothing, and running the 3 vmapped 30-iteration ICPs regardless
-    # costs ~90 ms. (A lax.cond gate was tried first: branches capturing the
-    # multi-GB cloud DB crash the TPU compiler at KITTI-scale shapes.)
+    # Gating strategy (most detection passes find nothing; ungated, the 3
+    # vmapped 30-iteration verify ICPs cost ~90 ms):
+    # - small DB: lax.cond skips the whole verification block (cheapest),
+    # - KITTI-scale DB: cond branches capturing the multi-GB cloud DB crash
+    #   the TPU compiler, so instead invalid candidates start their verify
+    #   ICP already converged (while_loop exits immediately; only the final
+    #   correspondence pass remains, ~3 ms).
     def verify(ci, T0, skip):
         tgt = PointCloud(db.clouds[ci], db.cloud_mask[ci])
         # normals cached at addFrame time (the reference recomputes them per
@@ -219,7 +221,25 @@ def detect(
         )
         return res.transformation, res.converged, res.final_error
 
-    tf, conv, fit = jax.vmap(verify)(cand_idx, init_T, ~cand_valid)
+    small_db = F <= 1024
+    if small_db:
+        def run_verify(_):
+            return jax.vmap(verify)(
+                cand_idx, init_T, jnp.zeros((K,), bool)
+            )
+
+        def skip_verify(_):
+            return (
+                jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
+                jnp.zeros((K,), bool),
+                jnp.full((K,), jnp.inf, jnp.float32),
+            )
+
+        tf, conv, fit = jax.lax.cond(
+            jnp.any(cand_valid), run_verify, skip_verify, operand=None
+        )
+    else:
+        tf, conv, fit = jax.vmap(verify)(cand_idx, init_T, ~cand_valid)
     accepted = cand_valid & conv & (fit < cfg.icp_fitness_threshold)
 
     return LoopDetections(
