@@ -123,6 +123,7 @@ def cmd_run(args) -> int:
         jax.profiler.start_trace(args.profile)
 
     period = 1.0 / args.playback_rate if args.playback_rate > 0 else 0.0
+    start_frame = engine.n_frames  # nonzero after --resume
     if cfg.host_voxelize:
         loader = FrameLoader(
             [p for _, p in frames], cap=cfg.max_points, window=8, threads=4,
@@ -130,13 +131,14 @@ def cmd_run(args) -> int:
             normals_radius=(
                 cfg.effective_normal_radius if cfg.host_normals else 0.0
             ),
+            start=start_frame,
         )
     else:
         loader = FrameLoader(
-            [p for _, p in frames], cap=cfg.max_raw_points, window=8, threads=2
+            [p for _, p in frames], cap=cfg.max_raw_points, window=8,
+            threads=2, start=start_frame,
         )
     t_start = time.perf_counter()
-    start_frame = engine.n_frames
     for i, (_, path) in enumerate(frames):
         if i < start_frame:
             continue
@@ -150,6 +152,10 @@ def cmd_run(args) -> int:
             engine.save_checkpoint(
                 os.path.join(args.out_dir, "checkpoint.npz")
             )
+        if args.export_every and i and i % args.export_every == 0:
+            # live observability (slam_node.cpp:154-157 analog); costs device
+            # syncs, so the cadence should be coarse
+            export.export_snapshot(args.out_dir, engine)
         if info:
             print(f"Loop: {info['query']} <-> {info['matches']}")
         if args.verbose and i % 10 == 0 and i > 0:
@@ -284,7 +290,13 @@ def main(argv=None) -> int:
                    help="loop-closure DB cloud size (0 = same as max-points)")
     r.add_argument("--max-raw-points", type=int, default=0)
     r.add_argument("--max-frames", type=int, default=0)
-    r.add_argument("--knn-backend", choices=["auto", "pallas", "xla"], default="")
+    r.add_argument(
+        "--knn-backend",
+        choices=["auto", "pallas", "xla", "slab", "grid"],
+        default="",
+        help="1-NN search backend (auto = exact brute force: pallas on TPU, "
+        "xla elsewhere; slab/grid are faster pruned searches — see PERF.md)",
+    )
     r.add_argument("--preset", choices=["default", "tiny"], default="default")
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
     r.add_argument("--no-host-voxelize", action="store_true",
@@ -293,6 +305,9 @@ def main(argv=None) -> int:
                    help="per-frame stats + loop prints (forces device syncs)")
     r.add_argument("--checkpoint-every", type=int, default=0,
                    help="save out_dir/checkpoint.npz every N frames")
+    r.add_argument("--export-every", type=int, default=0,
+                   help="dump trajectory/map/occupancy/metrics snapshots "
+                   "every N frames (live observability; costs syncs)")
     r.add_argument("--resume", default="",
                    help="resume from a checkpoint.npz (same config required)")
     r.add_argument("--profile", default="",

@@ -66,6 +66,11 @@ class LoopClosureConfig:
     icp_fitness_threshold: float = 0.3
     max_candidates: int = 3
     icp_max_iterations: int = 30       # loop verification budget (loop_closure.hpp:106)
+    # Verify-until-accepted depth (loop_closure.hpp:96-123): how many extra
+    # gated tranches of ``max_candidates`` may be verified when the first
+    # tranche accepts fewer than ``max_candidates``. 0 = verify exactly the
+    # top-K (round-1 behavior).
+    verify_extra_tranches: int = 1
     yaw_seed: bool = False             # improvement: seed verify-ICP yaw from best SC shift
     ring_key_prefilter: int = 0        # improvement: >0 = prefilter DB by ring-key top-k
     # >0: subsample the verify-ICP SOURCE to this many points. The fitness
@@ -141,7 +146,10 @@ class SlamConfig:
     pg: PoseGraphConfig = PoseGraphConfig()
     grid: OccupancyGridConfig = OccupancyGridConfig()
 
-    knn_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
+    # 'auto' (= pallas on TPU, xla elsewhere; both exact brute force),
+    # or the opt-in pruned searches 'slab' / 'grid' — see
+    # models.pipeline._resolve_nn1 for the accuracy trade-offs.
+    knn_backend: str = "auto"
 
     # Host-side voxelization: scans arrive already downsampled (the native
     # prefetch worker voxelizes off the critical path, overlapped with device

@@ -16,11 +16,14 @@ TPU-native design:
 - Stage 2 (verification) vmaps the full ICP kernel over the top-k candidates
   at once, 30 iterations each with identity init (loop_closure.hpp:96-123).
 
-Conscious deviation (bounded verification): the reference walks candidates
-in ascending SC distance until ``max_candidates`` are *accepted*
-(loop_closure.hpp:96-97) — unbounded ICP work in the worst case. Here exactly
-``max_candidates`` best candidates are verified; in practice the true match
-is always among the top few (it is the global SC minimum).
+Verify-until-accepted (loop_closure.hpp:96-123): the reference walks
+candidates in ascending SC distance until ``max_candidates`` are *accepted* —
+unbounded ICP work in the worst case. Here verification runs in gated
+tranches of ``max_candidates``: the best K are always verified; the next
+tranche(s) only run (one lax.cond each) when fewer than K were accepted and
+more valid candidates exist. With the default one extra tranche this matches
+the reference's walk over the top 2K candidates at near-zero cost on the
+common all-accepted / none-valid paths.
 
 Improvement toggle (off by default for parity): ``yaw_seed=True`` seeds the
 verification ICP with the best SC column shift as an initial yaw — the
@@ -140,14 +143,17 @@ def add_frame(
 
 
 class LoopDetections(NamedTuple):
-    """Fixed-shape result block (mirrors LoopClosureResult, loop_closure.hpp:25-31)."""
+    """Fixed-shape result block (mirrors LoopClosureResult, loop_closure.hpp:25-31).
 
-    accepted: jnp.ndarray     # (K,) bool
+    Arrays are length M = max_candidates * (1 + verify_extra_tranches),
+    ascending by SC distance; at most ``max_candidates`` are accepted."""
+
+    accepted: jnp.ndarray     # (M,) bool
     query_frame: jnp.ndarray  # () int32
-    match_frame: jnp.ndarray  # (K,) int32
-    transform: jnp.ndarray    # (K, 4, 4) — maps query sensor frame -> match frame
-    sc_distance: jnp.ndarray  # (K,)
-    icp_fitness: jnp.ndarray  # (K,)
+    match_frame: jnp.ndarray  # (M,) int32
+    transform: jnp.ndarray    # (M, 4, 4) — maps query sensor frame -> match frame
+    sc_distance: jnp.ndarray  # (M,)
+    icp_fitness: jnp.ndarray  # (M,)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg"))
@@ -155,8 +161,19 @@ def detect(
     db: KeyframeDB,
     cfg: LoopClosureConfig = LoopClosureConfig(),
     sc_cfg: ScanContextConfig = ScanContextConfig(),
+    expect_query=None,
 ) -> LoopDetections:
-    """detect() for the most recently added frame (loop_closure.hpp:66-126)."""
+    """detect() for the most recently added frame (loop_closure.hpp:66-126).
+
+    ``expect_query``: optional traced frame index — when given and it differs
+    from ``db.last_frame`` every candidate is rejected. This guards the
+    skipped-frame case: a frame dropped for low point count never enters the
+    DB, so a detection pass on its cadence tick would otherwise re-query the
+    previous DB entry and deterministically re-find (and re-add) the same
+    loops the earlier pass already accepted. The reference returns early on
+    skipped frames, so detection never re-runs for an old query
+    (slam_node.cpp:125-130, 159-167).
+    """
     F = db.desc.shape[0]
     K = cfg.max_candidates
     q = db.last_frame
@@ -181,13 +198,32 @@ def detect(
         & (dist < cfg.sc_distance_threshold)
         & (q >= 0)
     )
+    if expect_query is not None:
+        cand_ok = cand_ok & (q == jnp.asarray(expect_query, jnp.int32))
+    # Verify-until-accepted (loop_closure.hpp:96-123): the reference walks
+    # candidates in ascending SC distance until ``max_candidates`` are
+    # ACCEPTED, not merely verified. Bounded equivalent: rank the top
+    # M = K * (1 + extra_tranches) candidates, verify tranche 1 (the best K),
+    # and only if fewer than K were accepted AND more valid candidates exist
+    # run the next tranche — then keep the first K acceptances in ascending
+    # distance order (exactly the reference's walk restricted to the top M).
+    NT = 1 + max(cfg.verify_extra_tranches, 0)
+    M = NT * K
     masked = jnp.where(cand_ok, dist, jnp.inf)
-    neg_top, cand_idx = jax.lax.top_k(-masked, K)  # K best (ascending distance)
+    neg_top, cand_idx = jax.lax.top_k(-masked, M)  # M best (ascending distance)
     cand_dist = -neg_top
     cand_valid = jnp.isfinite(cand_dist)
     cand_idx = cand_idx.astype(jnp.int32)
 
+    # Gather the candidate clouds/masks/normals FIRST: the lax.cond gates
+    # below must capture only these few-MB slices — branches capturing the
+    # multi-GB (F, N, 3) DB buffers crash the TPU compiler at KITTI-scale
+    # shapes (and ungated verification costs ~50 ms per detection pass).
     query_cloud = PointCloud(db.clouds[q_safe], db.cloud_mask[q_safe])
+    cand_clouds = db.clouds[cand_idx]          # (M, N, 3)
+    cand_masks = db.cloud_mask[cand_idx]       # (M, N)
+    cand_normals = db.normals[cand_idx]        # (M, N, 3)
+
     icp_cfg = ICPConfig(
         max_iterations=cfg.icp_max_iterations,
         tolerance=cfg.verify_tolerance,
@@ -200,47 +236,56 @@ def detect(
         yaw = shift_to_yaw(best_shift[cand_idx], sc_cfg.num_sectors)
         zeros = jnp.zeros_like(yaw)
         w = jnp.stack([zeros, zeros, yaw], axis=-1)
-        init_T = se3.from_rt(se3.exp_so3(w), jnp.zeros((K, 3)))
+        init_T = se3.from_rt(se3.exp_so3(w), jnp.zeros((M, 3)))
     else:
-        init_T = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+        init_T = jnp.broadcast_to(jnp.eye(4), (M, 4, 4))
 
-    # Gating strategy (most detection passes find nothing; ungated, the 3
-    # vmapped 30-iteration verify ICPs cost ~90 ms):
-    # - small DB: lax.cond skips the whole verification block (cheapest),
-    # - KITTI-scale DB: cond branches capturing the multi-GB cloud DB crash
-    #   the TPU compiler, so instead invalid candidates start their verify
-    #   ICP already converged (while_loop exits immediately; only the final
-    #   correspondence pass remains, ~3 ms).
-    def verify(ci, T0, skip):
-        tgt = PointCloud(db.clouds[ci], db.cloud_mask[ci])
-        # normals cached at addFrame time (the reference recomputes them per
-        # verification, icp.hpp:166-171 — pure waste)
-        tgt_normals = db.normals[ci]
+    def verify(cloud, mask, normals, T0, skip):
         res = icp_point_to_plane(
-            query_cloud, tgt, tgt_normals, icp_cfg, T0, inactive=skip
+            query_cloud, PointCloud(cloud, mask), normals, icp_cfg, T0,
+            inactive=skip,
         )
         return res.transformation, res.converged, res.final_error
 
-    small_db = F <= 1024
-    if small_db:
-        def run_verify(_):
-            return jax.vmap(verify)(
-                cand_idx, init_T, jnp.zeros((K,), bool)
-            )
-
-        def skip_verify(_):
-            return (
-                jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
-                jnp.zeros((K,), bool),
-                jnp.full((K,), jnp.inf, jnp.float32),
-            )
-
-        tf, conv, fit = jax.lax.cond(
-            jnp.any(cand_valid), run_verify, skip_verify, operand=None
+    def skipped(k):
+        return (
+            jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (k, 4, 4)),
+            jnp.zeros((k,), bool),
+            jnp.full((k,), jnp.inf, jnp.float32),
         )
-    else:
-        tf, conv, fit = jax.vmap(verify)(cand_idx, init_T, ~cand_valid)
+
+    def tranche(sl, run_gate):
+        """Verify candidates [sl : sl + K) iff ``run_gate`` (traced bool)."""
+        def run(_):
+            return jax.vmap(verify)(
+                cand_clouds[sl : sl + K],
+                cand_masks[sl : sl + K],
+                cand_normals[sl : sl + K],
+                init_T[sl : sl + K],
+                ~cand_valid[sl : sl + K],
+            )
+
+        return jax.lax.cond(run_gate, run, lambda _: skipped(K), operand=None)
+
+    tf, conv, fit = tranche(0, jnp.any(cand_valid[:K]))
+    acc0 = cand_valid[:K] & conv & (fit < cfg.icp_fitness_threshold)
+    n_acc = jnp.sum(acc0.astype(jnp.int32))
+    for t in range(1, NT):
+        sl = t * K
+        gate = (n_acc < K) & jnp.any(cand_valid[sl : sl + K])
+        tf_t, conv_t, fit_t = tranche(sl, gate)
+        tf = jnp.concatenate([tf, tf_t], axis=0)
+        conv = jnp.concatenate([conv, conv_t], axis=0)
+        fit = jnp.concatenate([fit, fit_t], axis=0)
+        acc_t = cand_valid[sl : sl + K] & conv_t & (
+            fit_t < cfg.icp_fitness_threshold
+        )
+        n_acc = n_acc + jnp.sum(acc_t.astype(jnp.int32))
+
     accepted = cand_valid & conv & (fit < cfg.icp_fitness_threshold)
+    # Quota: keep only the first K acceptances in ascending-distance order
+    # (the reference stops once max_candidates are accepted).
+    accepted = accepted & (jnp.cumsum(accepted.astype(jnp.int32)) <= K)
 
     return LoopDetections(
         accepted=accepted,

@@ -74,12 +74,14 @@ class SlamState(NamedTuple):
 
 def _normals_fn(config: SlamConfig) -> Callable:
     """Per-scan normal estimator (cached and reused as the next frame's ICP
-    target normals). 'radius' is the TPU-native pure-MXU formulation; on real
-    TPUs the fused Pallas moment kernel is used."""
+    target normals).
+
+    'radius' is the TPU-native formulation: metric-ball moment accumulation
+    as masked matmul chains that XLA fuses end-to-end. A hand-written Pallas
+    moment kernel was tried and REMOVED in round 2: its K=8 / N=16 matmuls
+    starve the MXU (measured 167 ms vs 6.5 ms for the XLA path at 16k points
+    on v5e)."""
     if config.normal_method == "radius":
-        # XLA's fused matmul+mask chain beats the Pallas moment kernel here
-        # (the kernel's K=8 / N=16 matmuls starve the MXU; measured 6.5 ms vs
-        # 167 ms at 16k points on v5e) — keep the XLA path as default.
         r = config.effective_normal_radius
         st = config.normal_stride
         return lambda pts, mask: estimate_normals_radius(
@@ -116,21 +118,30 @@ def _downsample_fn(config: SlamConfig) -> Callable:
 def _resolve_nn1(config: SlamConfig) -> Optional[Callable]:
     """Pick the odometry 1-NN backend.
 
-    'slab' (the 'auto' default): x-slab-pruned search — exact for
-    consecutive-scan motion, ~2.5x faster than brute force. Relies on
-    x-major-sorted clouds, which both voxelizers (device sort kernel and
-    native host voxelizer) produce. 'pallas': brute-force VPU kernel.
-    'xla': streamed brute force (CPU-friendly).
+    'auto' resolves to 'pallas' on TPU and 'xla' elsewhere — both are EXACT
+    brute-force searches. The pruned backends are opt-in because their
+    windows can miss the true neighbor on adversarial geometry:
+
+    - 'slab': x-slab contiguous-window search over the x-major-sorted cloud
+      (~2.5x faster standalone than brute force; exact for small inter-frame
+      motion, but window misses under per-frame rotation cost ATE at bench
+      shapes).
+    - 'grid': sorted-cell-key 3x3-probe search (the TPU analog of the
+      reference KD-tree's spatial pruning, kdtree.hpp:112-142; exact whenever
+      the true NN is within one cell, here 2 * voxel_size).
+    - 'xla': streamed brute force (CPU-friendly).
     """
     backend = config.knn_backend
     if backend == "xla":
         return None  # icp default
     if backend == "slab":
-        # exact for small motion and ~2.5x cheaper standalone, but window
-        # misses under per-frame rotation cost ATE at bench shapes — opt-in
         from ..ops.slab_nn import nn1_slab
 
         return lambda s, t, m: nn1_slab(s, t, m)
+    if backend == "grid":
+        from ..ops.grid_nn import make_grid_backend
+
+        return make_grid_backend(cell=2.0 * config.voxel_size)
     try:
         from ..ops.knn_pallas import nn1_pallas, pallas_supported
     except ImportError:
@@ -290,8 +301,13 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
         return new_poses, pg_state, n_poses
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def loop_fn(state: SlamState):
-        det = lc.detect(state.db, config.lc, config.sc)
+    def loop_fn(state: SlamState, frame):
+        # ``expect_query`` rejects stale queries when the current frame was
+        # skipped for low point count (see lc.detect).
+        det = lc.detect(
+            state.db, config.lc, config.sc,
+            expect_query=jnp.asarray(frame, jnp.int32),
+        )
 
         def add_one(k, pg_state):
             return pg.add_loop(
@@ -303,7 +319,7 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
             )
 
         pg_state = jax.lax.fori_loop(
-            0, config.lc.max_candidates, add_one, state.pg
+            0, det.accepted.shape[0], add_one, state.pg
         )
         n_found = jnp.sum(det.accepted.astype(jnp.int32))
         state = state._replace(
@@ -408,18 +424,6 @@ def make_finalize_fn(config: SlamConfig):
     return finalize_fn
 
 
-class FrameInfo(NamedTuple):
-    """Host-side per-frame log record (mirrors slam_node.cpp:169-174)."""
-
-    frame: int
-    ms: float
-    error: float
-    iterations: int
-    converged: bool
-    npts: int
-    loops_total: int
-
-
 def enable_compilation_cache(path: str = "/tmp/lidar_slam_jax_cache") -> None:
     """Persistent XLA compilation cache — step-function compiles run ~2 min on
     TPU; cached reruns start instantly."""
@@ -501,7 +505,9 @@ class SlamEngine:
                 self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
-                self.state, det = self._loop_fn(self.state)
+                self.state, det = self._loop_fn(
+                    self.state, jnp.int32(self._frame)
+                )
                 if sync_info:
                     acc = np.asarray(det.accepted)
                     if acc.any():
@@ -536,24 +542,53 @@ class SlamEngine:
             "icp_converged": np.asarray(self.state.icp_converged[:n]),
             "frame_npts": np.asarray(self.state.frame_npts[:n]),
             "loop_count": int(self.state.loop_count),
+            # accepted loops dropped because max_loop_factors was exhausted
+            "loops_dropped": int(self.state.pg.n_loops_dropped),
         }
 
     def global_map(self, max_points_per_frame: Optional[int] = None) -> np.ndarray:
         """Assemble the world-frame map from stored clouds + poses
-        (build_final_global_map, slam_node.cpp:196-209). Host-side, chunked."""
+        (build_final_global_map, slam_node.cpp:196-209).
+
+        The gather + pose transform run on device in frame blocks — one
+        dispatch and one host fetch per 256 frames instead of one per frame
+        (a per-frame fetch costs ~50 ms over a TPU tunnel; at KITTI's 4.5k
+        frames that would be minutes)."""
         n = int(self.state.n_poses)
-        poses = self.trajectory()
+        if n == 0:
+            return np.zeros((0, 3), np.float32)
+        N = self.state.db.clouds.shape[1]
+        ppf = min(max_points_per_frame or N, N)
+        BLOCK = min(256, self.state.poses.shape[0])
+
+        @functools.partial(jax.jit, static_argnames=("ppf",))
+        def map_block(poses, clouds, masks, f0, ppf):
+            poses_b = jax.lax.dynamic_slice_in_dim(poses, f0, BLOCK)
+            clouds_b = jax.lax.dynamic_slice_in_dim(clouds, f0, BLOCK)
+            masks_b = jax.lax.dynamic_slice_in_dim(masks, f0, BLOCK)
+            if ppf < clouds_b.shape[1]:
+                cnt = jnp.sum(masks_b, axis=1)
+                j = jnp.arange(ppf)
+                sel = jnp.where(
+                    cnt[:, None] > ppf, (j[None, :] * cnt[:, None]) // ppf,
+                    j[None, :],
+                ).astype(jnp.int32)
+                clouds_b = jnp.take_along_axis(clouds_b, sel[:, :, None], axis=1)
+                masks_b = jnp.take_along_axis(masks_b, sel, axis=1)
+            world = se3.apply(poses_b, clouds_b)
+            return world, masks_b
+
         out = []
-        clouds = self.state.db.clouds
-        masks = self.state.db.cloud_mask
-        for f in range(n):
-            c = np.asarray(clouds[f])
-            m = np.asarray(masks[f])
-            pts = c[m]
-            if max_points_per_frame and len(pts) > max_points_per_frame:
-                pts = pts[:: len(pts) // max_points_per_frame + 1]
-            R, t = poses[f][:3, :3], poses[f][:3, 3]
-            out.append(pts @ R.T + t)
+        for f0 in range(0, n, BLOCK):
+            world, m = map_block(
+                self.state.poses, self.state.db.clouds,
+                self.state.db.cloud_mask, jnp.int32(f0), ppf,
+            )
+            world = np.asarray(world)
+            m = np.asarray(m)
+            hi = min(BLOCK, n - f0)
+            for b in range(hi):
+                out.append(world[b][m[b]])
         return np.concatenate(out, axis=0) if out else np.zeros((0, 3), np.float32)
 
     def occupancy(self) -> np.ndarray:

@@ -57,6 +57,7 @@ class PoseGraphState(NamedTuple):
     loop_rel: jnp.ndarray     # (L, 4, 4)
     loop_valid: jnp.ndarray   # (L,) bool
     n_loops: jnp.ndarray      # () int32
+    n_loops_dropped: jnp.ndarray  # () int32 — accepted loops lost to capacity
 
 
 def init_state(max_frames: int, max_loops: int) -> PoseGraphState:
@@ -77,6 +78,7 @@ def init_state(max_frames: int, max_loops: int) -> PoseGraphState:
         loop_rel=eyes(max_loops),
         loop_valid=jnp.zeros((max_loops,), bool),
         n_loops=jnp.int32(0),
+        n_loops_dropped=jnp.int32(0),
     )
 
 
@@ -114,14 +116,18 @@ def add_loop(
     """Append a loop-closure BetweenFactor (pose_graph.cpp:118-141).
 
     With ``valid=False`` the slot is consumed but zero-weighted — this keeps
-    the jit program static when a detection is rejected at runtime.
+    the jit program static when a detection is rejected at runtime. Accepted
+    loops beyond capacity are dropped and counted in ``n_loops_dropped``
+    (surfaced by SlamEngine.metrics) instead of silently vanishing.
     """
     i = state.n_loops
     valid = jnp.asarray(valid)
     cap = state.loop_valid.shape[0]
     slot = jnp.minimum(i, cap - 1)  # saturate: beyond-capacity writes last slot
     ok = valid & (i < cap)
+    dropped = valid & (i >= cap)
     return state._replace(
+        n_loops_dropped=state.n_loops_dropped + dropped.astype(jnp.int32),
         loop_from=state.loop_from.at[slot].set(
             jnp.where(ok, from_idx.astype(jnp.int32), state.loop_from[slot])
         ),

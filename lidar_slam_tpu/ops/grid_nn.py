@@ -140,3 +140,21 @@ def make_grid_corr_fn(tgt_pts: jnp.ndarray, tgt_mask: jnp.ndarray,
         return nn1_grid(src, grid, window=window)
 
     return nn1_fn
+
+
+def make_grid_backend(cell: float, window: int = 32):
+    """ICP-injectable grid backend (see icp_point_to_plane's ``nn1_fn``).
+
+    Carries a ``prepare`` attribute so the grid (the sort) is built once per
+    ICP call — the TPU analog of the reference's per-call KD-tree build
+    (icp.hpp:166) — and queried every iteration."""
+
+    def nn1_fn(src, tgt, mask):
+        return nn1_grid(src, build_grid(tgt, mask, cell), window=window)
+
+    def prepare(tgt, mask):
+        grid = build_grid(tgt, mask, cell)
+        return lambda src: nn1_grid(src, grid, window=window)
+
+    nn1_fn.prepare = prepare
+    return nn1_fn

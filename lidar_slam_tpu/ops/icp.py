@@ -95,7 +95,11 @@ def icp_point_to_plane(
     """Register ``src`` onto ``tgt``: returns T with T(src) ~= tgt.
 
     ``nn1_fn(src_pts, tgt_pts, tgt_mask) -> (idx, dist2)`` is injectable so the
-    engine can swap in the Pallas 1-NN kernel on TPU.
+    engine can swap in the Pallas 1-NN kernel on TPU. A backend that needs a
+    per-target acceleration structure (e.g. the sorted-grid search) may carry
+    a ``prepare(tgt_pts, tgt_mask) -> (src_pts -> (idx, dist2))`` attribute;
+    it is invoked ONCE here (the reference rebuilds its KD-tree on every ICP
+    call, icp.hpp:166) and the returned closure queries it each iteration.
 
     ``inactive``: traced bool — when True the iteration loop is skipped (the
     while_loop starts converged) and only the final correspondence pass runs.
@@ -104,6 +108,11 @@ def icp_point_to_plane(
     """
     if nn1_fn is None:
         nn1_fn = lambda s, t, m: nn1(s, t, m)
+    prepare = getattr(nn1_fn, "prepare", None)
+    if prepare is not None:
+        nn_query = prepare(tgt.points, tgt.mask)
+    else:
+        nn_query = lambda s: nn1_fn(s, tgt.points, tgt.mask)
     if init_transform is None:
         init_transform = se3.identity(src.points.dtype)
 
@@ -133,7 +142,7 @@ def icp_point_to_plane(
 
         def coarse_body(i, T):
             cur = se3.apply(T, csrc.points)
-            idx, _ = nn1_fn(cur, tgt.points, tgt.mask)
+            idx, _ = nn_query(cur)
             delta = solve_point_to_plane(
                 cur, tgt.points[idx], tgt_normals[idx], csrc.mask,
                 config.solver_damping,
@@ -152,7 +161,7 @@ def icp_point_to_plane(
 
     def correspondences(T):
         cur = se3.apply(T, src.points)
-        idx, _ = nn1_fn(cur, tgt.points, tgt.mask)
+        idx, _ = nn_query(cur)
         return cur, tgt.points[idx], tgt_normals[idx]
 
     def cond(c: _Carry):

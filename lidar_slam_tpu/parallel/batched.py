@@ -33,9 +33,46 @@ def make_batched_fns(config: SlamConfig, mesh: Optional[Mesh] = None,
     """
     init = jax.vmap(pipe.make_init_fn(config))
     step = jax.vmap(pipe.make_step_fn(config))
-    # host-triggered optimize: under vmap the in-graph lax.cond lowers to a
-    # select that would run the optimizer on every detection pass
-    loop = jax.vmap(pipe.make_loop_fn(config, in_graph_optimize=False))
+    # Under vmap an in-graph lax.cond lowers to a select that would run the
+    # optimizer on every detection pass, so the per-sequence loop_fn skips
+    # optimization; instead ONE cond OUTSIDE the vmap gates a batched masked
+    # optimize on "any sequence accepted a loop" — fully on device, no host
+    # sync (~50 ms each over a TPU tunnel), and the optimizer only executes
+    # on passes where some sequence actually found a loop.
+    loop_inner = jax.vmap(pipe.make_loop_fn(config, in_graph_optimize=False))
+
+    def loop(state, frames):
+        state, det = loop_inner(state, frames)
+
+        def do_opt(args):
+            poses, pgs, n_poses, pending = args
+
+            def opt_one(poses_b, pg_b, n_b):
+                from ..models import pose_graph as pg
+
+                res = pg.optimize(pg_b._replace(poses=poses_b), config.pg)
+                idx = jnp.arange(poses_b.shape[0])
+                return jnp.where(
+                    (idx < n_b)[:, None, None], res.poses, poses_b
+                )
+
+            new_poses = jax.vmap(opt_one)(poses, pgs, n_poses)
+            # sequences with nothing pending keep their poses untouched
+            new_poses = jnp.where(
+                pending[:, None, None, None], new_poses, poses
+            )
+            return new_poses, jnp.zeros_like(pending)
+
+        poses, pending = jax.lax.cond(
+            jnp.any(state.pending_optimize),
+            do_opt,
+            lambda args: (args[0], args[3]),
+            (state.poses, state.pg, state.n_poses, state.pending_optimize),
+        )
+        state = state._replace(poses=poses, pending_optimize=pending)
+        return state, det
+
+    loop = jax.jit(loop, donate_argnums=0)
     optimize = jax.vmap(pipe.make_optimize_fn(config))
     finalize = jax.vmap(pipe.make_finalize_fn(config))
 
@@ -80,9 +117,11 @@ class BatchedSlamEngine:
             counts[b] = n
         return jnp.asarray(pts), jnp.asarray(counts)
 
-    def push_scans(self, scans) -> Optional[int]:
-        """One scan per sequence. Returns total loops found when a detection
-        pass ran."""
+    def push_scans(self, scans, sync_info: bool = False) -> Optional[int]:
+        """One scan per sequence. Detection + gated optimization run fully on
+        device (no host syncs). With ``sync_info=True`` the total number of
+        loops accepted by this pass is fetched and returned (costly sync —
+        for tests/debugging only)."""
         raw, counts = self.pad_scans(scans)
         found = None
         if self._frame == 0:
@@ -95,10 +134,9 @@ class BatchedSlamEngine:
                 self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
-                self.state, det = self._loop(self.state)
-                found = int(jnp.sum(det.accepted.astype(jnp.int32)))
-                if found:
-                    self.state, _ = self._optimize(self.state)
+                self.state, det = self._loop(self.state, frames)
+                if sync_info:
+                    found = int(jnp.sum(det.accepted.astype(jnp.int32)))
         self._frame += 1
         return found
 

@@ -107,6 +107,29 @@ def save_metrics_jsonl(path: str, metrics: dict, extra: dict | None = None) -> N
         f.write(json.dumps(summary) + "\n")
 
 
+def export_snapshot(out_dir: str, engine, map_points_per_frame: int = 512) -> None:
+    """Crash-durable mid-run artifact snapshot.
+
+    The reference publishes the current scan every frame, the global map
+    every 5 frames, and trajectory/pose/grid continuously
+    (slam_node.cpp:154-157) — a crash mid-run leaves RViz holding the latest
+    state. The file-artifact analog: on an ``--export-every N`` cadence dump
+    the trajectory, a subsampled map, the occupancy grid and per-frame
+    metrics, overwriting the previous snapshot, so a killed run leaves usable
+    artifacts without waiting for finalize().
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    traj = engine.trajectory()
+    save_trajectory_kitti(os.path.join(out_dir, "trajectory.txt"), traj)
+    save_occupancy(
+        os.path.join(out_dir, "occupancy.npz"), engine.occupancy(),
+        engine.config.grid,
+    )
+    gmap = engine.global_map(max_points_per_frame=map_points_per_frame)
+    save_map(os.path.join(out_dir, "map.ply"), gmap)
+    save_metrics_jsonl(os.path.join(out_dir, "metrics.jsonl"), engine.metrics())
+
+
 def export_all(out_dir: str, engine, extra: dict | None = None,
                gt: np.ndarray | None = None) -> dict:
     """Dump every artifact the reference publishes, plus metrics."""

@@ -44,7 +44,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("LIDAR_SLAM_NO_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Always invoke make: it's a no-op when the .so is fresh and rebuilds
+        # a stale one when ply_io.cpp changed (a stale lib would lack newer
+        # symbols such as lidar_prefetch_create_v2).
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -91,6 +94,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.c_long,
             ctypes.c_float,
+        ]
+        lib.lidar_prefetch_create_v2.restype = ctypes.c_void_p
+        lib.lidar_prefetch_create_v2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_long,
+            ctypes.c_float,
+            ctypes.c_long,
         ]
         lib.lidar_prefetch_get_full.restype = ctypes.c_long
         lib.lidar_prefetch_get_full.argtypes = [
@@ -153,7 +168,10 @@ class FrameLoader:
 
     def __init__(self, paths: List[str], cap: int = 1 << 18, window: int = 8,
                  threads: int = 2, voxel: float = 0.0, raw_cap: int = 0,
-                 normals_radius: float = 0.0):
+                 normals_radius: float = 0.0, start: int = 0):
+        """``start``: first frame that will be requested (checkpoint resume) —
+        workers begin prefetching there instead of frame 0, so ``get(start)``
+        never deadlocks behind ``window`` frames nobody will consume."""
         self.paths = paths
         self.cap = cap
         self.voxel = voxel
@@ -162,21 +180,11 @@ class FrameLoader:
         self._lib = get_lib()
         if self._lib is not None and paths:
             arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-            if normals_radius > 0:
-                self._handle = self._lib.lidar_prefetch_create_full(
-                    arr, len(paths), cap, window, threads,
-                    ctypes.c_float(voxel), raw_cap or cap,
-                    ctypes.c_float(normals_radius),
-                )
-            elif voxel > 0:
-                self._handle = self._lib.lidar_prefetch_create_voxel(
-                    arr, len(paths), cap, window, threads,
-                    ctypes.c_float(voxel), raw_cap or cap,
-                )
-            else:
-                self._handle = self._lib.lidar_prefetch_create(
-                    arr, len(paths), cap, window, threads
-                )
+            self._handle = self._lib.lidar_prefetch_create_v2(
+                arr, len(paths), cap, window, threads,
+                ctypes.c_float(voxel), raw_cap or cap,
+                ctypes.c_float(normals_radius), start,
+            )
 
     def get(self, frame: int) -> np.ndarray:
         if self._handle is not None:

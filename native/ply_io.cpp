@@ -10,6 +10,7 @@
 // All loaders return the number of points written to `out` (x,y,z triples),
 // or -1 on error. `cap` bounds the number of points.
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -82,25 +83,40 @@ long load_ply_impl(const char* path, float* out, long cap) {
         return 0;
     }
     size_t stride = 0, xo = 0, yo = 0, zo = 0;
+    size_t xs = 0, ys = 0, zs = 0;  // per-coordinate property byte widths
     for (const auto& p : props) {
-        if (p.name == "x") xo = stride;
-        if (p.name == "y") yo = stride;
-        if (p.name == "z") zo = stride;
+        if (p.name == "x") { xo = stride; xs = p.size; }
+        if (p.name == "y") { yo = stride; ys = p.size; }
+        if (p.name == "z") { zo = stride; zs = p.size; }
         stride += p.size;
     }
     if (binary) {
+        // Only float32 and float64 coordinates are handled; anything else
+        // returns -1 so callers fall back to the Python parser instead of
+        // silently reinterpreting bytes.
+        if ((xs != 4 && xs != 8) || (ys != 4 && ys != 8) ||
+            (zs != 4 && zs != 8)) {
+            fclose(f);
+            return -1;
+        }
         std::vector<char> buf(stride * static_cast<size_t>(n));
         size_t got = fread(buf.data(), stride, static_cast<size_t>(n), f);
         fclose(f);
+        auto read_coord = [](const char* p, size_t sz) -> float {
+            if (sz == 8) {
+                double d;
+                std::memcpy(&d, p, 8);
+                return static_cast<float>(d);
+            }
+            float v;
+            std::memcpy(&v, p, 4);
+            return v;
+        };
         for (size_t i = 0; i < got; ++i) {
             const char* rec = buf.data() + i * stride;
-            float v;
-            std::memcpy(&v, rec + xo, 4);
-            out[i * 3 + 0] = v;
-            std::memcpy(&v, rec + yo, 4);
-            out[i * 3 + 1] = v;
-            std::memcpy(&v, rec + zo, 4);
-            out[i * 3 + 2] = v;
+            out[i * 3 + 0] = read_coord(rec + xo, xs);
+            out[i * 3 + 1] = read_coord(rec + yo, ys);
+            out[i * 3 + 2] = read_coord(rec + zo, zs);
         }
         return static_cast<long>(got);
     }
@@ -324,9 +340,15 @@ struct Prefetcher {
     std::vector<std::thread> workers;
 
     Prefetcher(const char** p, int n, long cap_, int window_, int n_threads,
-               float voxel_ = 0.0f, long raw_cap_ = 0, float normals_r_ = 0.0f)
+               float voxel_ = 0.0f, long raw_cap_ = 0, float normals_r_ = 0.0f,
+               long start_ = 0)
         : cap(cap_), voxel(voxel_), normals_r(normals_r_),
           raw_cap(raw_cap_ > 0 ? raw_cap_ : cap_), window(window_) {
+        // Resume support: begin loading (and counting consumption) at
+        // start_ so get(start_) doesn't deadlock behind window-full slots
+        // of frames the consumer will never request.
+        next_to_load.store(start_);
+        consumed.store(start_);
         paths.assign(p, p + n);
         slots.resize(window);
         counts.assign(window, -2);
@@ -469,6 +491,16 @@ void* lidar_prefetch_create_full(const char** paths, int n, long cap,
                                  long raw_cap, float normals_radius) {
     return new Prefetcher(paths, n, cap, window, n_threads, voxel, raw_cap,
                           normals_radius);
+}
+
+// v2: adds start_frame for checkpoint resume (workers begin at start_frame
+// instead of 0 — see Prefetcher ctor).
+void* lidar_prefetch_create_v2(const char** paths, int n, long cap,
+                               int window, int n_threads, float voxel,
+                               long raw_cap, float normals_radius,
+                               long start_frame) {
+    return new Prefetcher(paths, n, cap, window, n_threads, voxel, raw_cap,
+                          normals_radius, start_frame);
 }
 
 long lidar_prefetch_get_full(void* h, long frame, float* out_pts,

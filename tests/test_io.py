@@ -80,3 +80,50 @@ def test_convert_directory(tmp_path, rng):
     n = convert_directory(str(ind), str(outd))
     assert n == 3
     assert len(os.listdir(outd)) == 3
+
+
+def test_frameloader_resume_start(tmp_path, rng):
+    """Prefetch workers start at the resume frame: get(start) with
+    start >= window must not deadlock (round-1 resume hang)."""
+    from lidar_slam_tpu.utils.native import FrameLoader
+
+    paths = []
+    for i in range(12):
+        p = str(tmp_path / f"{i:06d}.ply")
+        save_ply(p, np.full((20, 3), float(i), np.float32))
+        paths.append(p)
+    ld = FrameLoader(paths, cap=64, window=4, threads=2, start=8)
+    try:
+        for f in range(8, 12):
+            pts = ld.get(f)
+            assert pts.shape[0] == 20
+            np.testing.assert_allclose(pts[0], [f, f, f])
+    finally:
+        ld.close()
+
+
+def test_double_precision_ply(tmp_path, rng):
+    """PLY with double x/y/z parses correctly via every path (the native
+    fast path must convert or decline — not reinterpret bytes)."""
+    pts = rng.normal(size=(50, 3)).astype(np.float64) * 10
+    path = str(tmp_path / "d.ply")
+    header = (
+        "ply\nformat binary_little_endian 1.0\nelement vertex 50\n"
+        "property double x\nproperty double y\nproperty double z\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(pts.astype("<f8").tobytes())
+    got = load_ply(path)
+    np.testing.assert_allclose(got, pts.astype(np.float32), atol=1e-5)
+    # the dispatching loader (used by FrameLoader fallbacks) agrees
+    from lidar_slam_tpu.utils.io import load_scan
+
+    np.testing.assert_allclose(load_scan(path), got)
+    from lidar_slam_tpu.utils.native import load_scan_native, native_available
+
+    if native_available():
+        native = load_scan_native(path)
+        if native is not None:  # native may decline (returns None) -> OK
+            np.testing.assert_allclose(native, got, atol=1e-5)

@@ -154,3 +154,86 @@ def test_yaw_seed_improves_rotated_revisit(rng):
                              np.linalg.inv(T_true), jnp.float32))
     )
     assert np.abs(err[2]) < 0.15, err  # yaw recovered
+
+
+def test_stale_query_rejected(rng):
+    """expect_query guards the skipped-frame case: a detection pass whose
+    expected query was never added to the DB must accept nothing (the
+    reference returns early on skipped frames, slam_node.cpp:125-130)."""
+    poses, scans = make_scene_scans(rng)
+    sc_cfg = ScanContextConfig()
+    cfg = LoopClosureConfig(frame_gap=5, sc_distance_threshold=0.35,
+                            icp_fitness_threshold=0.6, icp_max_iterations=15)
+    db = lc.init_db(16, 2048, sc_cfg)
+    for f, scan in enumerate(scans):
+        db = lc.add_frame(db, to_pc(scan), jnp.int32(f), sc_cfg)
+    # fresh query (frame 10) detects the revisit...
+    det = lc.detect(db, cfg, sc_cfg, expect_query=jnp.int32(10))
+    assert np.asarray(det.accepted).any()
+    # ...but a pass expecting frame 11 (skipped, never added) must not re-find
+    # frame 10's loops
+    det_stale = lc.detect(db, cfg, sc_cfg, expect_query=jnp.int32(11))
+    assert not np.asarray(det_stale.accepted).any()
+
+
+def test_verify_until_accepted_second_tranche(rng):
+    """When the SC-best candidate fails ICP verification, the reference walks
+    on to the next candidates (loop_closure.hpp:96-123). With
+    max_candidates=1 the second tranche must recover the true loop hiding at
+    rank 2; with verify_extra_tranches=0 (round-1 behavior) it is lost."""
+    world = generate_world(0, route_half=8.0)
+    base = np.eye(4, dtype=np.float32)
+    base[:3, 3] = [2.0, 1.0, 1.8]
+    query_scan = render_scan(world, base, rng, max_range=25.0, max_points=2000)
+    true_match = render_scan(world, base, rng, max_range=25.0, max_points=2000)
+
+    # Decoy: identical Scan Context (per-bin max-z points kept) but destroyed
+    # surface structure (every non-max point dropped far below) -> SC distance
+    # ~0 yet ICP cannot fit planes to it.
+    decoy = query_scan.copy()
+    r = np.sqrt(decoy[:, 0] ** 2 + decoy[:, 1] ** 2)
+    ang = np.arctan2(decoy[:, 1], decoy[:, 0]) + np.pi
+    ring = np.clip((r / 4.0).astype(int), 0, 19)
+    sect = np.clip((ang / (2 * np.pi / 60)).astype(int), 0, 59)
+    bin_id = ring * 60 + sect
+    is_max = np.zeros(len(decoy), bool)
+    for b in np.unique(bin_id):
+        sel = np.where(bin_id == b)[0]
+        is_max[sel[np.argmax(decoy[sel, 2])]] = True
+    jitter = rng.uniform(-3.0, 0.0, size=len(decoy)).astype(np.float32)
+    decoy[~is_max, 2] += jitter[~is_max]  # lower z never changes the bin max
+    decoy[~is_max, :2] += rng.normal(
+        scale=0.6, size=(int((~is_max).sum()), 2)
+    ).astype(np.float32)
+
+    sc_cfg = ScanContextConfig()
+    db = lc.init_db(16, 2048, sc_cfg)
+    db = lc.add_frame(db, to_pc(decoy), jnp.int32(0), sc_cfg)
+    db = lc.add_frame(db, to_pc(true_match), jnp.int32(1), sc_cfg)
+    # spacers so the query respects frame_gap
+    far = np.eye(4, dtype=np.float32)
+    far[:3, 3] = [60.0, 60.0, 1.8]
+    spacer = render_scan(world, far, rng, max_range=25.0, max_points=2000)
+    for f in range(2, 8):
+        db = lc.add_frame(db, to_pc(spacer), jnp.int32(f), sc_cfg)
+    db = lc.add_frame(db, to_pc(query_scan), jnp.int32(8), sc_cfg)
+
+    def run(extra):
+        cfg = LoopClosureConfig(
+            frame_gap=5, sc_distance_threshold=0.4, icp_fitness_threshold=0.5,
+            icp_max_iterations=15, max_candidates=1,
+            verify_extra_tranches=extra,
+        )
+        return lc.detect(db, cfg, sc_cfg)
+
+    det1 = run(1)
+    acc = np.asarray(det1.accepted)
+    dists = np.asarray(det1.sc_distance)
+    # the decoy must rank first (else the test is vacuous)
+    assert int(det1.match_frame[0]) == 0, (np.asarray(det1.match_frame), dists)
+    assert not acc[0], np.asarray(det1.icp_fitness)
+    assert acc[1], (np.asarray(det1.match_frame), np.asarray(det1.icp_fitness))
+    assert int(det1.match_frame[1]) == 1
+    # round-1 bounded top-K behavior loses the loop entirely
+    det0 = run(0)
+    assert not np.asarray(det0.accepted).any()

@@ -110,3 +110,57 @@ def test_init_state_shapes():
     assert st.poses.shape == (cfg.max_frames, 4, 4)
     assert st.db.clouds.shape == (cfg.max_frames, cfg.lc_points, 3)
     assert int(st.n_poses) == 1
+
+
+def test_global_map_subsampled(small_run):
+    eng, _ = small_run
+    full = eng.global_map()
+    sub = eng.global_map(max_points_per_frame=64)
+    assert 0 < sub.shape[0] <= 24 * 64
+    assert sub.shape[0] < full.shape[0]
+    assert np.isfinite(sub).all()
+
+
+def test_export_snapshot_midrun(tmp_path):
+    """--export-every analog: a snapshot taken mid-run (before finalize)
+    leaves usable artifacts (slam_node.cpp:154-157 live publishing)."""
+    from lidar_slam_tpu.utils import export
+
+    cfg = tiny_config(max_raw_points=2048, max_points=512, min_points=8,
+                      max_frames=16)
+    eng = SlamEngine(cfg)
+    rng = np.random.default_rng(3)
+    full = rng.normal(size=(800, 3)).astype(np.float32) * 10
+    for i in range(4):
+        eng.push_scan(full + 0.05 * i)
+    out = str(tmp_path / "snap")
+    export.export_snapshot(out, eng, map_points_per_frame=64)
+    import os
+
+    traj = np.loadtxt(os.path.join(out, "trajectory.txt"))
+    assert traj.shape == (4, 12)
+    assert os.path.exists(os.path.join(out, "map.ply"))
+    assert os.path.exists(os.path.join(out, "occupancy.npz"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+
+def test_grid_backend_pipeline():
+    """knn_backend='grid' (sorted-cell pruned search) runs end-to-end and
+    tracks ground truth on the structured synthetic world (grid pruning is
+    exact only when NN distances stay under the cell size, so it needs
+    scan-density clouds, not sparse random blobs)."""
+    n = 8
+    half = route_half_for(60)
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(60, half=half)[:n]
+    rng = np.random.default_rng(4)
+    scans = [render_scan(world, gt[i], rng, max_range=30.0, max_points=4000)
+             for i in range(n)]
+    cfg = tiny_config(max_raw_points=4096, max_points=4096,
+                      lc_cloud_points=1024, max_frames=16).replace(
+        voxel_size=0.8, knn_backend="grid")
+    eng = SlamEngine(cfg)
+    for s in scans:
+        eng.push_scan(s)
+    ate = ate_rmse(eng.trajectory(), gt)
+    assert ate < 1.0, ate

@@ -112,3 +112,17 @@ def test_fitness_scales_noise(rng):
     s2 = pg.add_odometry(state, jnp.int32(1), rel, jnp.float32(0.5))
     assert float(s1.odom_scale[1]) == 1.0
     assert abs(float(s2.odom_scale[1]) - 6.0) < 1e-6  # 1 + 0.5*10 (pose_graph.cpp:88)
+
+
+def test_loop_capacity_saturation_counted(rng):
+    """Accepted loops beyond max_loop_factors are dropped AND counted
+    (round-1 dropped them silently)."""
+    st = pg.init_state(8, 2)
+    T = jnp.eye(4)
+    for k in range(4):
+        st = pg.add_loop(st, jnp.int32(0), jnp.int32(k + 1), T, valid=True)
+    assert int(st.n_loops) == 2
+    assert int(st.n_loops_dropped) == 2
+    # invalid adds count nowhere
+    st = pg.add_loop(st, jnp.int32(0), jnp.int32(7), T, valid=False)
+    assert int(st.n_loops_dropped) == 2
