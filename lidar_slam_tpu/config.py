@@ -41,6 +41,12 @@ class ICPConfig:
     # phase only.
     coarse_iterations: int = 0
     coarse_sample: int = 2048
+    # Seed odometry ICP with the PREVIOUS frame's accepted delta (constant-
+    # velocity motion model) instead of the reference's identity init
+    # (icp.hpp:174) — typically halves the iteration count and keeps the
+    # first correspondence pass inside pruned-search windows. Disclosed
+    # improvement; off = reference behavior.
+    warm_start: bool = False
 
 
 @dataclass(frozen=True)
@@ -151,6 +157,13 @@ class SlamConfig:
     # models.pipeline._resolve_nn1 for the accuracy trade-offs.
     knn_backend: str = "auto"
 
+    # >1: the engine dispatches this many scans per device call (lax.scan
+    # over the step body) — the fixed per-dispatch cost (~2.5-6 ms over a
+    # TPU tunnel) is paid once per block instead of once per frame. Must
+    # divide ``loop_check_every`` so detection stays on the reference's
+    # cadence. 0/1 = one dispatch per scan.
+    dispatch_block: int = 0
+
     # Host-side voxelization: scans arrive already downsampled (the native
     # prefetch worker voxelizes off the critical path, overlapped with device
     # compute — the device sort-based voxel op is skipped entirely).
@@ -168,6 +181,14 @@ class SlamConfig:
     # >1: compute normals on every stride-th (sorted) point, replicate to
     # neighbors — halves the dominant normals cost at stride=2.
     normal_stride: int = 1
+    # >0: x-slab windowed radius-moment accumulation (O(N*window) instead of
+    # O(N^2)); EXACT on x-major-sorted clouds (both the device voxelizer and
+    # the native host voxelizer emit that order — every engine input path is
+    # sorted) as long as the window covers each tile's +-radius x-band.
+    # 4096 is ample at 32k points / 0.5 m voxels; only summation-order
+    # rounding can differ from the dense path (visible only at two-plane
+    # corner points whose normal is ambiguous anyway).
+    normal_window: int = 4096
 
     @property
     def effective_normal_radius(self) -> float:

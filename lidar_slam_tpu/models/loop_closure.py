@@ -129,14 +129,20 @@ def add_frame(
 
         nrm = estimate_normals(cl.points, cl.mask, k=20)
     f = frame.astype(jnp.int32)
+    # PERF (round 2): every multi-GB buffer (clouds/normals/mask) is written
+    # exactly ONCE per step and UNCONDITIONALLY — a gated where-read of the
+    # slot, or a second .at[f].set on the same donated buffer elsewhere in
+    # the program, forces XLA to materialize a full-buffer copy (~11 ms at
+    # KITTI scale). The cloud is stored for every frame anyway (the reference
+    # push_backs downsampled_clouds_ BEFORE the skip guard,
+    # slam_node.cpp:123-130); normals of a skipped frame are dead data since
+    # ``in_db`` (gated) stays False — detect() never reads them.
     return db._replace(
         desc=db.desc.at[f].set(jnp.where(enabled, desc, db.desc[f])),
         desc_norm=db.desc_norm.at[f].set(jnp.where(enabled, norm, db.desc_norm[f])),
-        clouds=db.clouds.at[f].set(jnp.where(enabled, cl.points, db.clouds[f])),
-        cloud_mask=db.cloud_mask.at[f].set(
-            jnp.where(enabled, cl.mask, db.cloud_mask[f])
-        ),
-        normals=db.normals.at[f].set(jnp.where(enabled, nrm, db.normals[f])),
+        clouds=db.clouds.at[f].set(cl.points),
+        cloud_mask=db.cloud_mask.at[f].set(cl.mask),
+        normals=db.normals.at[f].set(nrm),
         in_db=db.in_db.at[f].set(jnp.where(enabled, True, db.in_db[f])),
         last_frame=jnp.where(enabled, f, db.last_frame),
     )
@@ -219,10 +225,20 @@ def detect(
     # below must capture only these few-MB slices — branches capturing the
     # multi-GB (F, N, 3) DB buffers crash the TPU compiler at KITTI-scale
     # shapes (and ungated verification costs ~50 ms per detection pass).
+    # Unrolled dynamic_index slices, NOT fancy gather: XLA lowers a
+    # dynamic-index gather from a multi-GB HBM buffer ~30x slower than M
+    # dynamic-slices (measured 11.5 ms vs 0.4 ms at KITTI scale for M=6).
+    def take_rows(buf, idx):
+        rows = [
+            jax.lax.dynamic_index_in_dim(buf, idx[k], 0, keepdims=False)
+            for k in range(idx.shape[0])
+        ]
+        return jnp.stack(rows)
+
     query_cloud = PointCloud(db.clouds[q_safe], db.cloud_mask[q_safe])
-    cand_clouds = db.clouds[cand_idx]          # (M, N, 3)
-    cand_masks = db.cloud_mask[cand_idx]       # (M, N)
-    cand_normals = db.normals[cand_idx]        # (M, N, 3)
+    cand_clouds = take_rows(db.clouds, cand_idx)     # (M, N, 3)
+    cand_masks = take_rows(db.cloud_mask, cand_idx)  # (M, N)
+    cand_normals = take_rows(db.normals, cand_idx)   # (M, N, 3)
 
     icp_cfg = ICPConfig(
         max_iterations=cfg.icp_max_iterations,

@@ -61,6 +61,8 @@ class SlamState(NamedTuple):
     n_poses: jnp.ndarray          # () int32
     prev: PointCloud              # prev downsampled cloud (prev_points_)
     prev_normals: jnp.ndarray     # (N, 3) cached normals of prev
+    prev_delta: jnp.ndarray       # (4, 4) last accepted odometry delta
+    #   (constant-velocity ICP seed when config.icp.warm_start)
     db: lc.KeyframeDB             # loop-closure DB + per-frame cloud storage
     grid: jnp.ndarray             # (D, D) uint8 occupancy
     loop_count: jnp.ndarray       # () int32
@@ -84,8 +86,9 @@ def _normals_fn(config: SlamConfig) -> Callable:
     if config.normal_method == "radius":
         r = config.effective_normal_radius
         st = config.normal_stride
+        w = config.normal_window
         return lambda pts, mask: estimate_normals_radius(
-            pts, mask, radius=r, stride=st
+            pts, mask, radius=r, stride=st, window=w
         )
     k = config.icp.normal_k
     return lambda pts, mask: estimate_normals(pts, mask, k=k)
@@ -163,6 +166,7 @@ def init_state(config: SlamConfig) -> SlamState:
             jnp.zeros((config.max_points,), bool),
         ),
         prev_normals=jnp.zeros((config.max_points, 3), jnp.float32),
+        prev_delta=jnp.eye(4, dtype=jnp.float32),
         db=lc.init_db(F, config.lc_points, config.sc),
         grid=empty_grid(config.grid),
         loop_count=jnp.int32(0),
@@ -171,17 +175,6 @@ def init_state(config: SlamConfig) -> SlamState:
         icp_iters=jnp.zeros((F,), jnp.int32),
         icp_converged=jnp.zeros((F,), bool),
         frame_npts=jnp.zeros((F,), jnp.int32),
-    )
-
-
-def _store_frame_cloud(db: lc.KeyframeDB, cloud: PointCloud, frame) -> lc.KeyframeDB:
-    """Store the downsampled cloud for map building — ALL frames, matching
-    downsampled_clouds_.push_back (slam_node.cpp:123, before the skip guard)."""
-    cl = lc.subsample(cloud, db.clouds.shape[1])
-    f = frame.astype(jnp.int32)
-    return db._replace(
-        clouds=db.clouds.at[f].set(cl.points),
-        cloud_mask=db.cloud_mask.at[f].set(cl.mask),
     )
 
 
@@ -201,9 +194,13 @@ def make_init_fn(config: SlamConfig):
             normals = jnp.where(curr.mask[:, None], raw_normals[: config.max_points], 0.0)
         else:
             normals = normals_fn(curr.points, curr.mask)
-        db = _store_frame_cloud(state.db, curr, jnp.int32(0))
-        # frame 0 is NOT added to the loop DB (addFrame only runs in
-        # process_frame, slam_node.cpp:159; ctor doesn't call it)
+        # frame 0's cloud is stored for map building but NOT added to the
+        # loop DB (addFrame only runs in process_frame, slam_node.cpp:159;
+        # the ctor doesn't call it) -> enabled=False keeps in_db[0] False.
+        db = lc.add_frame(
+            state.db, curr, jnp.int32(0), config.sc, enabled=False,
+            normals=normals,
+        )
         return state._replace(
             prev=curr,
             prev_normals=normals,
@@ -214,26 +211,28 @@ def make_init_fn(config: SlamConfig):
     return init_fn
 
 
-def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
-    """Per-scan odometry step (process_frame, slam_node.cpp:118-175).
-
-    ``nn1_fn`` overrides the correspondence-search backend (e.g. the
-    mesh-sharded collective search from parallel/sharded_knn.py)."""
+def _make_step_body(config: SlamConfig, nn1_fn: Optional[Callable] = None):
+    """The un-jitted per-scan step body, shared by :func:`make_step_fn`
+    (one dispatch per scan) and :func:`make_block_step_fn` (one dispatch per
+    ``block`` scans via ``lax.scan`` — the host→device dispatch itself costs
+    ~2.5-6 ms on a tunneled TPU regardless of program size, so at the
+    ~5 ms/frame north-star budget per-frame dispatching is the bottleneck)."""
     if nn1_fn is None:
         nn1_fn = _resolve_nn1(config)
     normals_fn = _normals_fn(config)
 
     downsample_fn = _downsample_fn(config)
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step_fn(state: SlamState, raw_pts, raw_count, frame, raw_normals=None) -> SlamState:
+    def step_body(state: SlamState, raw_pts, raw_count, frame, raw_normals=None) -> SlamState:
         frame = frame.astype(jnp.int32)
         curr = downsample_fn(raw_pts, raw_count)
         npts = curr.count()
         ok = npts >= config.min_points
 
+        init_T = state.prev_delta if config.icp.warm_start else None
         res = icp_point_to_plane(
-            curr, state.prev, state.prev_normals, config.icp, nn1_fn=nn1_fn
+            curr, state.prev, state.prev_normals, config.icp, init_T,
+            nn1_fn=nn1_fn,
         )
         diverged = jnp.logical_or(
             jnp.logical_not(res.converged), res.final_error > config.divergence_error
@@ -261,8 +260,14 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             )
         else:
             normals = normals_fn(curr.points, curr.mask)
-        db = _store_frame_cloud(state.db, curr, frame)
-        db = lc.add_frame(db, curr, frame, config.sc, enabled=ok, normals=normals)
+        # ONE fused DB update: cloud/mask/normals stored for every frame (the
+        # reference push_backs the cloud before the skip guard,
+        # slam_node.cpp:123-130), descriptor/in_db gated on ``ok``. Writing
+        # any multi-GB DB buffer twice in one program forces a full copy
+        # (~11 ms at KITTI scale) — see lc.add_frame.
+        db = lc.add_frame(
+            state.db, curr, frame, config.sc, enabled=ok, normals=normals
+        )
 
         return state._replace(
             pg=pg_state,
@@ -270,6 +275,7 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             n_poses=jnp.maximum(state.n_poses, frame + 1),
             prev=curr,
             prev_normals=normals,
+            prev_delta=delta,
             db=db,
             grid=grid,
             icp_error=state.icp_error.at[frame].set(res.final_error),
@@ -278,7 +284,56 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             frame_npts=state.frame_npts.at[frame].set(npts),
         )
 
-    return step_fn
+    return step_body
+
+
+def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
+    """Per-scan odometry step (process_frame, slam_node.cpp:118-175).
+
+    ``nn1_fn`` overrides the correspondence-search backend (e.g. the
+    mesh-sharded collective search from parallel/sharded_knn.py)."""
+    body = _make_step_body(config, nn1_fn)
+    return functools.partial(jax.jit, donate_argnums=0)(body)
+
+
+def make_block_step_fn(config: SlamConfig, block: int,
+                       nn1_fn: Optional[Callable] = None):
+    """Process ``block`` consecutive scans in ONE device dispatch.
+
+    ``lax.scan`` over the per-scan step body: identical math and state
+    evolution to ``block`` calls of :func:`make_step_fn`, but the fixed
+    per-dispatch overhead (~2.5-6 ms over a TPU tunnel) is paid once per
+    block instead of once per frame. The engine sizes blocks to the loop
+    cadence (slam_node.cpp:160) so detection still runs exactly at the
+    reference's every-10-frames boundary.
+
+    Signature: ``block_fn(state, raw_blk (B, N, 3), counts (B,), frame0,
+    raw_normals_blk=None) -> state`` where scan k is frame ``frame0 + k``.
+    """
+    body = _make_step_body(config, nn1_fn)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def block_fn(state: SlamState, raw_blk, counts, frame0,
+                 raw_normals_blk=None) -> SlamState:
+        frame0 = frame0.astype(jnp.int32)
+
+        def scan_body(st, inp):
+            if raw_normals_blk is None:
+                pts, cnt, k = inp
+                return body(st, pts, cnt, frame0 + k), ()
+            pts, cnt, k, nrm = inp
+            return body(st, pts, cnt, frame0 + k, nrm), ()
+
+        ks = jnp.arange(block, dtype=jnp.int32)
+        xs = (
+            (raw_blk, counts, ks)
+            if raw_normals_blk is None
+            else (raw_blk, counts, ks, raw_normals_blk)
+        )
+        state, _ = jax.lax.scan(scan_body, state, xs)
+        return state
+
+    return block_fn
 
 
 def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
@@ -451,6 +506,16 @@ class SlamEngine:
         self._loop_fn = make_loop_fn(config)
         self._optimize_fn = make_optimize_fn(config)
         self._finalize_fn = make_finalize_fn(config)
+        self._block = max(config.dispatch_block, 0)
+        if self._block > 1:
+            if config.loop_check_every % self._block != 0:
+                raise ValueError(
+                    f"dispatch_block={self._block} must divide "
+                    f"loop_check_every={config.loop_check_every} so loop "
+                    "detection stays on the reference cadence"
+                )
+            self._block_fn = make_block_step_fn(config, self._block)
+        self._pending: list = []  # buffered (raw, count[, normals]) tuples
         self.state = init_state(config)
         self._frame = 0
 
@@ -497,12 +562,20 @@ class SlamEngine:
         if self._frame == 0:
             self.state = self._init_fn(self.state, raw, count, **kw)
         else:
-            self.state = self._step_fn(
-                self.state, raw, count, jnp.int32(self._frame), **kw
-            )
+            if self._block > 1:
+                if not self._pending:
+                    self._pending_frame0 = self._frame
+                self._pending.append((raw, count, kw.get("raw_normals")))
+                if self._frame % self._block == 0:
+                    self._dispatch_pending()
+            else:
+                self.state = self._step_fn(
+                    self.state, raw, count, jnp.int32(self._frame), **kw
+                )
             cfg = self.config
             if (
-                self._frame % cfg.loop_check_every == 0
+                not self._pending
+                and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
                 self.state, det = self._loop_fn(
@@ -519,7 +592,42 @@ class SlamEngine:
         self._frame += 1
         return info
 
+    def _dispatch_pending(self) -> None:
+        """Run the buffered scans: one block dispatch when full, per-scan
+        steps for a partial tail (end of dataset / pre-flush)."""
+        if not self._pending:
+            return
+        n = len(self._pending)
+        frame0 = self._pending_frame0
+        if n == self._block:
+            raws = jnp.stack([p[0] for p in self._pending])
+            counts = jnp.stack([p[1] for p in self._pending])
+            kw = {}
+            if self._pending[0][2] is not None:
+                kw["raw_normals_blk"] = jnp.stack(
+                    [p[2] for p in self._pending]
+                )
+            self.state = self._block_fn(
+                self.state, raws, counts, jnp.int32(frame0), **kw
+            )
+        else:
+            for k, (raw, count, nrm) in enumerate(self._pending):
+                kw = {} if nrm is None else {"raw_normals": nrm}
+                self.state = self._step_fn(
+                    self.state, raw, count, jnp.int32(frame0 + k), **kw
+                )
+        self._pending.clear()
+
+    def flush(self) -> None:
+        """Make ``state`` current: dispatch any buffered scans (block mode).
+
+        Called automatically by finalize/trajectory/metrics/map/checkpoint;
+        call manually before reading ``state`` directly mid-run."""
+        if self._pending:
+            self._dispatch_pending()
+
     def finalize(self):
+        self.flush()
         self.state, res = self._finalize_fn(self.state)
         return res
 
@@ -531,10 +639,12 @@ class SlamEngine:
 
     def trajectory(self) -> np.ndarray:
         """(n, 4, 4) pose array."""
+        self.flush()
         n = int(self.state.n_poses)
         return np.asarray(self.state.poses[:n])
 
     def metrics(self) -> dict:
+        self.flush()
         n = int(self.state.n_poses)
         return {
             "icp_error": np.asarray(self.state.icp_error[:n]),
@@ -592,11 +702,13 @@ class SlamEngine:
         return np.concatenate(out, axis=0) if out else np.zeros((0, 3), np.float32)
 
     def occupancy(self) -> np.ndarray:
+        self.flush()
         return np.asarray(self.state.grid)
 
     # -- checkpoint / resume (no reference analog; SURVEY.md §5) ------------
 
     def save_checkpoint(self, path: str) -> None:
+        self.flush()
         from ..utils.checkpoint import save_state
 
         save_state(path, self.state, extra={"frame": self._frame})
