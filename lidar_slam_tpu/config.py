@@ -105,6 +105,16 @@ class PoseGraphConfig:
     relative_error_tol: float = 1e-5
     absolute_error_tol: float = 1e-5
     # TPU-native solver knobs (no reference analog — GTSAM used direct solves):
+    # Relative (incremental) parameterization: corrections act on the per-step
+    # relative transforms and poses are rebuilt by a parallel-prefix
+    # associative_scan of SE(3) composition. In absolute per-pose coordinates
+    # the odometry chain's normal matrix is block-tridiagonal, and CG — whose
+    # Krylov space grows one chain hop per iteration — cannot propagate a
+    # loop-closure correction across a 4,500-pose graph in any sane budget
+    # (measured: 0 accepted LM steps at KITTI scale). In relative coordinates
+    # a loop residual couples every step in its range in ONE hop, so CG
+    # converges in tens of iterations at any graph length.
+    relative_param: bool = True
     cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
     cg_tolerance: float = 1e-10        # relative to |b|^2
     lambda_init: float = 1e-5          # GTSAM LevenbergMarquardtParams default
@@ -164,9 +174,12 @@ class SlamConfig:
     # cadence. 0/1 = one dispatch per scan.
     dispatch_block: int = 0
 
-    # Host-side voxelization: scans arrive already downsampled (the native
-    # prefetch worker voxelizes off the critical path, overlapped with device
-    # compute — the device sort-based voxel op is skipped entirely).
+    # Host-side voxelization: scans arrive already downsampled AND x-major
+    # sorted (the native prefetch worker voxelizes off the critical path,
+    # overlapped with device compute — the device sort-based voxel op is
+    # skipped entirely; both voxelizers emit key-sorted order). Feeding raw
+    # UNSORTED clouds through this path breaks the windowed normal
+    # accumulator and the slab/grid NN backends — sort by x first.
     host_voxelize: bool = False
     # Host-side normals: scans also arrive with per-point radius normals
     # (computed in the C++ prefetch workers, exact f64 neighborhood math);

@@ -195,6 +195,56 @@ def _residuals(state: PoseGraphState, deltas: jnp.ndarray, cfg: PoseGraphConfig)
     return jnp.concatenate([r_prior, r_odom, r_loop], axis=0)
 
 
+def _poses_from_rel_deltas(state: PoseGraphState, d: jnp.ndarray) -> jnp.ndarray:
+    """Corrected poses under the RELATIVE parameterization.
+
+    P_0 = T_0 Exp(d_0); P_k = P_{k-1} (R_k Exp(d_k)) where
+    R_k = T_{k-1}^{-1} T_k are the current estimated relative transforms.
+    The prefix products are one ``lax.associative_scan`` of SE(3) composition
+    — log-depth batched 4x4 matmuls, the TPU-native replacement for the
+    sequential pose chaining a CPU solver would do.
+    """
+    T = state.poses
+    rels = se3.compose(se3.inverse(T[:-1]), T[1:])          # (F-1, 4, 4)
+    M0 = se3.compose(T[0], se3.exp(d[0]))[None]
+    Mk = se3.compose(rels, se3.exp(d[1:]))
+    M = jnp.concatenate([M0, Mk], axis=0)
+    return jax.lax.associative_scan(se3.compose, M)
+
+
+def _residuals_rel(state: PoseGraphState, d: jnp.ndarray, cfg: PoseGraphConfig):
+    """Whitened residuals under the relative parameterization (same factors
+    and weights as :func:`_residuals`; identical values at ``d = 0``).
+
+    Odometry rows shortcut the scan: inv(P_{k-1}) P_k == R_k Exp(d_k), so
+    only the prior and loop rows differentiate through the prefix products.
+    """
+    F = state.poses.shape[0]
+    T = state.poses
+    prior_sig, odom_sig, loop_sig = _whiten(cfg)
+
+    P = _poses_from_rel_deltas(state, d)
+
+    r_prior = (se3.log(P[0]) / prior_sig)[None, :]
+
+    rels = se3.compose(se3.inverse(T[:-1]), T[1:])
+    rel_new = se3.compose(rels, se3.exp(d[1:]))             # (F-1, 4, 4)
+    meas_inv = se3.inverse(state.odom_rel[1:])
+    r_odom = se3.log(se3.compose(meas_inv, rel_new))
+    k = jnp.arange(1, F)
+    odom_w = (state.odom_valid[1:] & (k < state.n_poses)).astype(jnp.float32)
+    scale = jnp.maximum(state.odom_scale[1:], 1e-12)
+    r_odom = r_odom * odom_w[:, None] / (odom_sig[None, :] * scale[:, None])
+
+    Tf = P[state.loop_from]
+    Tt = P[state.loop_to]
+    r_loop = _between_residual(Tf, Tt, se3.inverse(state.loop_rel))
+    loop_w = state.loop_valid.astype(jnp.float32)
+    r_loop = r_loop * loop_w[:, None] / loop_sig[None, :]
+
+    return jnp.concatenate([r_prior, r_odom, r_loop], axis=0)
+
+
 def graph_error(state: PoseGraphState, cfg: PoseGraphConfig) -> jnp.ndarray:
     """GTSAM-convention error: 0.5 * sum of squared whitened residuals."""
     F = state.poses.shape[0]
@@ -266,8 +316,18 @@ def optimize(state: PoseGraphState, cfg: PoseGraphConfig = PoseGraphConfig()) ->
         it, poses, lam, cost, done = c
         st = state._replace(poses=poses)
 
-        def rfun(d):
-            return _residuals(st, d, cfg)
+        if cfg.relative_param:
+            def rfun(d):
+                return _residuals_rel(st, d, cfg)
+
+            def retract(d):
+                return _poses_from_rel_deltas(st, d)
+        else:
+            def rfun(d):
+                return _residuals(st, d, cfg)
+
+            def retract(d):
+                return se3.compose(poses, se3.exp(d))
 
         r0, jvp_lin = jax.linearize(rfun, zero)
         _, vjp = jax.vjp(rfun, zero)
@@ -278,7 +338,7 @@ def optimize(state: PoseGraphState, cfg: PoseGraphConfig = PoseGraphConfig()) ->
 
         (g,) = vjp(r0)  # J^T r
         delta = _cg_solve(matvec, -g, cfg.cg_iterations, cfg.cg_tolerance)
-        new_poses = se3.orthonormalize(se3.compose(poses, se3.exp(delta)))
+        new_poses = se3.orthonormalize(retract(delta))
         new_cost = cost_at(new_poses)
         accept = new_cost < cost
 

@@ -147,6 +147,14 @@ def estimate_normals_radius(
     search this is EXACT whenever the window covers the tile's x-band: any
     point outside it has |dx| > radius and would have mask 0 anyway. Cost
     drops from O(N^2) to O(N * window) — 8x at 32k points / window 4096.
+
+    COVERAGE CAVEAT: the window must fit every +-radius x-band — i.e.
+    window >= (2 * radius + tile x-span) * max points-per-meter-of-x. Holds
+    comfortably for voxel-downsampled clouds with the default
+    radius = 2.4 * voxel (the voxel grid bounds density); for dense
+    PASS-THROUGH clouds shrink the radius to match the true point spacing or
+    the truncated neighborhoods silently bias the normals (measured: 1.15 m
+    odometry error at 131k-point clouds with radius 1.2 / window 2048).
     """
     N = pts.shape[0]
     radius = jnp.asarray(radius, pts.dtype)

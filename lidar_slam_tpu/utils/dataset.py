@@ -23,34 +23,71 @@ def generate_world(
     route_half: float = 25.0,
     n_buildings: int | None = None,
     ground_step: float = 0.35,
+    corridor: float | None = None,
 ) -> np.ndarray:
     """Static world point cloud: ground + axis-aligned building walls + poles.
 
     Buildings are kept off an 8 m-wide corridor around the square route at
     ``|max(|x|,|y|)| = route_half`` so the vehicle never drives through one.
+
+    ``corridor``: if set, only generate the world within this distance of the
+    circular route annulus at radius ``route_half`` — a KITTI-length route
+    (750 m radius) would otherwise need ~100M ground points at full density;
+    a sensor with 50 m range never sees beyond the corridor anyway. Ground
+    density stays at ``ground_step`` (no cap) inside the corridor.
     """
     rng = np.random.default_rng(seed)
     extent = route_half * 2.2 + 15.0
     if n_buildings is None:
         # scale structure density with area — a sparse world is perceptually
         # self-similar and produces false Scan Context matches
-        n_buildings = max(24, int(extent * extent / 450.0))
+        area = (
+            extent * extent
+            if corridor is None
+            else 2.0 * np.pi * route_half * (2.0 * corridor)
+        )
+        n_buildings = max(24, int(area / 450.0))
     pts = []
 
-    # ground plane with mild height noise; cap total ground points so large
-    # worlds stay fast to render (still ~2 points per 0.5 m voxel near the
-    # sensor at the cap)
-    ground_step = max(ground_step, 2.0 * extent / 1100.0)
-    g = np.arange(-extent, extent, ground_step)
-    gx, gy = np.meshgrid(g, g)
-    ground = np.stack(
-        [gx.ravel(), gy.ravel(), rng.normal(0, 0.02, gx.size)], axis=1
-    )
+    def in_corridor(x, y):
+        if corridor is None:
+            return np.ones(np.shape(x), bool)
+        return np.abs(np.hypot(x, y) - route_half) < corridor
+
+    # ground plane with mild height noise; without a corridor, cap total
+    # ground points so large worlds stay fast to render (still ~2 points per
+    # 0.5 m voxel near the sensor at the cap)
+    if corridor is None:
+        ground_step = max(ground_step, 2.0 * extent / 1100.0)
+        g = np.arange(-extent, extent, ground_step)
+        gx, gy = np.meshgrid(g, g)
+        gx, gy = gx.ravel(), gy.ravel()
+    else:
+        # polar grid over the annulus at uniform areal density
+        radii = np.arange(
+            max(route_half - corridor, 1.0), route_half + corridor, ground_step
+        )
+        gx_parts, gy_parts = [], []
+        for r in radii:
+            na = max(int(2.0 * np.pi * r / ground_step), 8)
+            ang = np.linspace(0, 2 * np.pi, na, endpoint=False)
+            ang += rng.uniform(0, 2 * np.pi / na)  # de-align rings
+            gx_parts.append(r * np.cos(ang))
+            gy_parts.append(r * np.sin(ang))
+        gx = np.concatenate(gx_parts)
+        gy = np.concatenate(gy_parts)
+    ground = np.stack([gx, gy, rng.normal(0, 0.02, gx.size)], axis=1)
     pts.append(ground)
 
     # buildings: boxes with 4 wall faces, placed away from the circular route
     for _ in range(n_buildings):
-        cx, cy = rng.uniform(-extent * 0.9, extent * 0.9, 2)
+        if corridor is None:
+            cx, cy = rng.uniform(-extent * 0.9, extent * 0.9, 2)
+        else:
+            ang = rng.uniform(0, 2 * np.pi)
+            off = rng.uniform(9.0, corridor)  # roadway (±7 m + margin) clear
+            r = route_half + off * (1 if rng.uniform() < 0.5 else -1)
+            cx, cy = r * np.cos(ang), r * np.sin(ang)
         # keep the route corridor (annulus around radius route_half) clear
         ring = float(np.hypot(cx, cy))
         if route_half - 7 < ring < route_half + 7:
@@ -80,7 +117,12 @@ def generate_world(
 
     # poles / trees near the route for mid-range structure
     for _ in range(max(60, int(extent))):
-        px, py = rng.uniform(-extent, extent, 2)
+        if corridor is None:
+            px, py = rng.uniform(-extent, extent, 2)
+        else:
+            ang = rng.uniform(0, 2 * np.pi)
+            r = route_half + rng.uniform(-corridor, corridor)
+            px, py = r * np.cos(ang), r * np.sin(ang)
         n = 30
         z = rng.uniform(0, 4, n)
         ang = rng.uniform(0, 2 * np.pi, n)
@@ -151,6 +193,58 @@ def render_scan(
         sel = rng.choice(len(local), max_points, replace=False)
         local = local[sel]
     return (local + rng.normal(0, noise, local.shape)).astype(np.float32)
+
+
+class ScanRenderer:
+    """Cell-indexed wrapper around :func:`render_scan` for long routes.
+
+    ``render_scan`` is O(|world|) per frame; on a KITTI-length route the
+    world holds 10M+ points and rendering 4.5k frames would take ~40 min.
+    A coarse 2D cell index (one argsort at construction) makes each frame
+    O(points within range): candidate cells within ``max_range`` of the
+    sensor are concatenated and passed through the same crop/sample/noise
+    path, so the output distribution is identical to render_scan's."""
+
+    def __init__(self, world: np.ndarray, cell: float = 25.0):
+        self.world = world
+        self.cell = float(cell)
+        cx = np.floor(world[:, 0] / cell).astype(np.int64)
+        cy = np.floor(world[:, 1] / cell).astype(np.int64)
+        key = (cx - cx.min()) * (cy.max() - cy.min() + 1) + (cy - cy.min())
+        order = np.argsort(key)
+        self._sorted = world[order]
+        skey = key[order]
+        # cell id -> [start, end) into the sorted array
+        uniq, starts = np.unique(skey, return_index=True)
+        ends = np.append(starts[1:], len(skey))
+        self._ranges = dict(zip(uniq.tolist(), zip(starts.tolist(), ends.tolist())))
+        self._cx0, self._cy0 = cx.min(), cy.min()
+        self._ny = cy.max() - cy.min() + 1
+
+    def near(self, x: float, y: float, max_range: float) -> np.ndarray:
+        r = int(np.ceil(max_range / self.cell)) + 1
+        cx = int(np.floor(x / self.cell)) - self._cx0
+        cy = int(np.floor(y / self.cell)) - self._cy0
+        parts = []
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                rng_ = self._ranges.get((cx + dx) * self._ny + (cy + dy))
+                if rng_ is not None:
+                    parts.append(self._sorted[rng_[0] : rng_[1]])
+        if not parts:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(parts, axis=0)
+
+    def render(
+        self,
+        pose: np.ndarray,
+        rng: np.random.Generator,
+        max_range: float = 50.0,
+        max_points: int = 20000,
+        noise: float = 0.02,
+    ) -> np.ndarray:
+        sub = self.near(pose[0, 3], pose[1, 3], max_range)
+        return render_scan(sub, pose, rng, max_range, max_points, noise)
 
 
 def make_dataset(

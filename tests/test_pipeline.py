@@ -164,3 +164,70 @@ def test_grid_backend_pipeline():
         eng.push_scan(s)
     ate = ate_rmse(eng.trajectory(), gt)
     assert ate < 1.0, ate
+
+
+def test_block_dispatch_equivalence():
+    """dispatch_block>1 (lax.scan over the step body + deferred loop cadence)
+    is bit-exact vs per-scan stepping, including finalize and metrics."""
+    n = 24
+    half = route_half_for(n)
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(n, half=half)
+    rng = np.random.default_rng(0)
+    scans = [render_scan(world, gt[i], rng, max_points=1500) for i in range(n)]
+
+    e1 = SlamEngine(tiny_config())
+    e2 = SlamEngine(tiny_config(dispatch_block=2))
+    for s in scans:
+        e1.push_scan(s)
+        e2.push_scan(s)
+    e1.finalize()
+    e2.finalize()
+    assert np.abs(e1.trajectory() - e2.trajectory()).max() < 1e-6
+    m1, m2 = e1.metrics(), e2.metrics()
+    assert m1["loop_count"] == m2["loop_count"]
+    np.testing.assert_array_equal(m1["icp_iters"], m2["icp_iters"])
+
+
+def test_block_dispatch_partial_tail_flush():
+    """A dataset length that is not a block multiple still processes every
+    frame (flush dispatches the partial tail as single steps)."""
+    n = 11  # blocks of 4 -> tail of 2 after frame 0
+    half = route_half_for(n)
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(n, half=half)
+    rng = np.random.default_rng(1)
+    scans = [render_scan(world, gt[i], rng, max_points=1500) for i in range(n)]
+    cfg = tiny_config(dispatch_block=2, loop_check_every=4)
+    eng = SlamEngine(cfg)
+    for s in scans:
+        eng.push_scan(s)
+    traj = eng.trajectory()  # flush()es internally
+    assert traj.shape[0] == n
+    assert int(eng.state.n_poses) == n
+
+
+def test_warm_start_tracks_rotation():
+    """Constant-velocity ICP warm start (prev_delta seed) converges in fewer
+    iterations than identity init on a steadily turning route."""
+    n = 10
+    half = route_half_for(60)
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(60, half=half)[:n]
+    rng = np.random.default_rng(2)
+    scans = [render_scan(world, gt[i], rng, max_points=3000) for i in range(n)]
+    base = tiny_config(max_raw_points=4096, max_points=4096,
+                       lc_cloud_points=1024, max_frames=16)
+    cold = SlamEngine(base)
+    warm = SlamEngine(base.replace(icp=base.icp.__class__(
+        max_iterations=base.icp.max_iterations, tolerance=base.icp.tolerance,
+        normal_k=base.icp.normal_k, warm_start=True)))
+    for s in scans:
+        cold.push_scan(s)
+        warm.push_scan(s)
+    ate_c = ate_rmse(cold.trajectory(), gt)
+    ate_w = ate_rmse(warm.trajectory(), gt)
+    it_c = cold.metrics()["icp_iters"][1:].mean()
+    it_w = warm.metrics()["icp_iters"][1:].mean()
+    assert ate_w < max(2.0 * ate_c, 0.5), (ate_w, ate_c)
+    assert it_w <= it_c + 0.5, (it_w, it_c)
