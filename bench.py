@@ -132,7 +132,10 @@ def main() -> int:
         for ds in prepared:
             eng.push_scan(ds)  # no per-frame device syncs
         eng.finalize()
-        jax.block_until_ready(eng.state.poses)
+        # HONEST sync: on the tunneled runtime block_until_ready can return
+        # before queued work drains (PERF.md gotcha #2); only a device->host
+        # fetch of a value produced by the final program reliably waits.
+        np.asarray(eng.state.n_poses)
         return eng
 
     log("warmup (compile)...")

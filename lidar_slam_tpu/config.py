@@ -186,11 +186,23 @@ class SlamConfig:
     # requires host_voxelize. Saves ~4.5 ms/scan of device time.
     host_normals: bool = False
 
-    # Normal estimation: 'radius' = TPU-native metric-ball moment
-    # accumulation (pure MXU, no sort); 'knn' = reference-style k=20 PCA
-    # (icp.hpp:23-67). Radius 0 = auto (2.4 * voxel_size).
-    normal_method: str = "radius"
+    # Normal estimation: 'adaptive' (default) = count-targeted per-point
+    # radius moment accumulation — emulates the reference's k=20 ranked
+    # neighborhood (icp.hpp:26) at moment-kernel cost; required for
+    # anisotropic ring-pattern LiDAR, where a fixed metric ball degenerates
+    # to a collinear single-ring arc beyond ~25 m (176 mm/frame odometry
+    # error vs 11 mm — see ops/normals.estimate_normals_adaptive).
+    # 'radius' = fixed metric-ball moments (fastest; fine on uniform-density
+    # clouds); 'knn' = reference-exact k=20 ranked PCA (icp.hpp:23-67;
+    # 40-140x slower on TPU — sorts). Radius 0 = auto (2.4 * voxel_size);
+    # for 'adaptive' that is the per-point minimum.
+    normal_method: str = "adaptive"
     normal_radius: float = 0.0
+    # 'adaptive' probe scales and the neighbor-count target (reference k).
+    normal_probe_lo: float = 2.0
+    normal_probe_hi: float = 8.0
+    normal_k_target: int = 20
+    normal_r_max: float = 20.0
     # >1: compute normals on every stride-th (sorted) point, replicate to
     # neighbors — halves the dominant normals cost at stride=2.
     normal_stride: int = 1

@@ -78,11 +78,25 @@ def _normals_fn(config: SlamConfig) -> Callable:
     """Per-scan normal estimator (cached and reused as the next frame's ICP
     target normals).
 
-    'radius' is the TPU-native formulation: metric-ball moment accumulation
-    as masked matmul chains that XLA fuses end-to-end. A hand-written Pallas
-    moment kernel was tried and REMOVED in round 2: its K=8 / N=16 matmuls
-    starve the MXU (measured 167 ms vs 6.5 ms for the XLA path at 16k points
-    on v5e)."""
+    'adaptive' (default) and 'radius' are the TPU-native formulations:
+    metric-ball moment accumulation as masked matmul chains that XLA fuses
+    end-to-end; 'adaptive' picks per-point radii targeting k neighbors so
+    ring-pattern anisotropy can't degenerate the neighborhood (see
+    ops/normals.estimate_normals_adaptive — same cost, required for
+    realistic LiDAR). A hand-written Pallas moment kernel was tried and
+    REMOVED in round 2: its K=8 / N=16 matmuls starve the MXU (measured
+    167 ms vs 6.5 ms for the XLA path at 16k points on v5e)."""
+    if config.normal_method == "adaptive":
+        from ..ops.normals import estimate_normals_adaptive
+
+        r = config.effective_normal_radius
+        w = config.normal_window
+        return lambda pts, mask: estimate_normals_adaptive(
+            pts, mask,
+            k=config.normal_k_target,
+            r_probe=(config.normal_probe_lo, config.normal_probe_hi),
+            r_min=r, r_max=config.normal_r_max, window=w,
+        )
     if config.normal_method == "radius":
         r = config.effective_normal_radius
         st = config.normal_stride
@@ -234,8 +248,15 @@ def _make_step_body(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             curr, state.prev, state.prev_normals, config.icp, init_T,
             nn1_fn=nn1_fn,
         )
+        # f32 divergence can overflow to NaN (the reference's f64 LDLT just
+        # yields a huge-but-finite error, slam_node.cpp:139); sanitize so the
+        # recorded fitness can't poison the factor weights (1 + 10 * NaN) or
+        # the NaN>thresh comparison (False) downstream.
+        fitness = jnp.where(
+            jnp.isfinite(res.final_error), res.final_error, jnp.float32(1e6)
+        )
         diverged = jnp.logical_or(
-            jnp.logical_not(res.converged), res.final_error > config.divergence_error
+            jnp.logical_not(res.converged), fitness > config.divergence_error
         )
         delta = jnp.where(
             ok & ~diverged, res.transformation, jnp.eye(4, dtype=jnp.float32)
@@ -246,7 +267,7 @@ def _make_step_body(config: SlamConfig, nn1_fn: Optional[Callable] = None):
         poses = state.poses.at[frame].set(new_pose)
 
         pg_state = pg.add_odometry(
-            state.pg, frame, delta, res.final_error, valid=ok
+            state.pg, frame, delta, fitness, valid=ok
         )
 
         world = se3.apply(new_pose, curr.points)
@@ -278,7 +299,7 @@ def _make_step_body(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             prev_delta=delta,
             db=db,
             grid=grid,
-            icp_error=state.icp_error.at[frame].set(res.final_error),
+            icp_error=state.icp_error.at[frame].set(fitness),
             icp_iters=state.icp_iters.at[frame].set(res.num_iterations),
             icp_converged=state.icp_converged.at[frame].set(res.converged),
             frame_npts=state.frame_npts.at[frame].set(npts),

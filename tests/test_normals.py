@@ -44,3 +44,77 @@ def test_degenerate_rows_get_up_vector():
     mask[:2] = True  # fewer than 3 valid points
     normals = np.asarray(estimate_normals(jnp.asarray(pts), jnp.asarray(mask), k=4))
     np.testing.assert_allclose(normals, np.tile([0, 0, 1.0], (8, 1)))
+
+
+def _ring_ground(rng, n_rings=24, sensor_h=1.8):
+    """Ring-pattern ground cloud (sensor-frame): anisotropic — dense along
+    each ring, ring gaps growing quadratically with ground distance."""
+    pts = []
+    for el in np.linspace(-0.45, -0.04, n_rings):
+        d = sensor_h / np.tan(-el)
+        if d > 90:
+            continue
+        na = max(int(2 * np.pi * d / 0.5), 16)
+        ang = np.linspace(0, 2 * np.pi, na, endpoint=False)
+        ring = np.stack(
+            [d * np.cos(ang), d * np.sin(ang), np.full(na, -sensor_h)], axis=1
+        )
+        pts.append(ring + rng.normal(0, 0.02, ring.shape))
+    return np.concatenate(pts).astype(np.float32)
+
+
+def test_adaptive_matches_knn_on_rings(rng):
+    """Count-targeted adaptive radius tracks the reference k=20 neighborhood
+    on anisotropic ring geometry where a fixed metric ball degenerates
+    (single-ring collinear neighborhoods beyond ~25 m)."""
+    from lidar_slam_tpu.ops.normals import (
+        estimate_normals_adaptive,
+        estimate_normals_radius,
+    )
+
+    cloud = _ring_ground(rng)
+    N = 1 << int(np.ceil(np.log2(len(cloud))))
+    pts = np.zeros((N, 3), np.float32)
+    pts[: len(cloud)] = cloud
+    mask = np.arange(N) < len(cloud)
+    # x-major order (the engine's voxel output contract for windowed paths)
+    order = np.argsort(pts[:, 0], kind="stable")
+    pts, mask = jnp.asarray(pts[order]), jnp.asarray(mask[order])
+
+    nk = np.asarray(estimate_normals(pts, mask, k=20))
+    na = np.asarray(estimate_normals_adaptive(pts, mask, r_min=1.2, window=2048))
+    nf = np.asarray(estimate_normals_radius(pts, mask, radius=1.2, window=2048))
+    v = np.asarray(mask)
+
+    def med_angle(a, b):
+        dots = np.clip(np.abs((a * b).sum(1)), 0, 1)
+        return np.degrees(np.arccos(dots[v]))
+
+    ang_adapt = med_angle(na, nk)
+    ang_fixed = med_angle(nf, nk)
+    # ground normals are (0,0,1): adaptive must be accurate where fixed fails
+    assert np.percentile(ang_adapt, 90) < 5.0, np.percentile(ang_adapt, 90)
+    assert np.percentile(ang_fixed, 90) > 20.0  # the failure being fixed
+    # nearly all ground normals near +z (the outermost ring has no farther
+    # neighbor ring; its isolated rows stay ambiguous under ANY k policy)
+    assert np.percentile(np.abs(na[v][:, 2]), 5) > 0.9
+
+
+def test_adaptive_perpoint_radius_plane(rng):
+    """Per-point radius vector path agrees with scalar radius on a plane."""
+    from lidar_slam_tpu.ops.normals import estimate_normals_radius
+
+    pts = np.zeros((256, 3), np.float32)
+    pts[:, :2] = rng.uniform(-5, 5, size=(256, 2))
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    mask = np.ones(256, bool)
+    n_scalar = np.asarray(
+        estimate_normals_radius(jnp.asarray(pts), jnp.asarray(mask), radius=1.5)
+    )
+    n_vec = np.asarray(
+        estimate_normals_radius(
+            jnp.asarray(pts), jnp.asarray(mask), radius=jnp.full((256,), 1.5)
+        )
+    )
+    np.testing.assert_allclose(n_scalar, n_vec, atol=1e-5)
+    np.testing.assert_allclose(np.abs(n_vec[:, 2]), 1.0, atol=1e-3)

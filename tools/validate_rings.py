@@ -37,6 +37,12 @@ def main() -> int:
     ap.add_argument("--beams", type=int, default=64)
     ap.add_argument("--azimuth", type=int, default=1024)
     ap.add_argument("--skip-mirror", action="store_true")
+    ap.add_argument("--mirror-only", action="store_true",
+                    help="render + run the f64 mirror, cache, and exit "
+                    "(the engine phase needs the TPU; the mirror is "
+                    "host-CPU only)")
+    ap.add_argument("--cache", default="/tmp/validate_rings_cache",
+                    help="directory for scan/mirror caches keyed by config")
     ap.add_argument("--out", default="docs/VALIDATION.md")
     args = ap.parse_args()
 
@@ -56,16 +62,26 @@ def main() -> int:
     gt = generate_trajectory(n, half=half)
     rng = np.random.default_rng(0)
 
-    print(f"rendering {n} ring scans (64 x {args.azimuth} rays, occlusion)...")
-    t0 = time.perf_counter()
-    scans = [
-        render_scan_rings(geom, gt[i], rng, n_beams=args.beams,
-                          n_azimuth=args.azimuth)
-        for i in range(n)
-    ]
+    os.makedirs(args.cache, exist_ok=True)
+    tag = f"f{n}_b{args.beams}_a{args.azimuth}"
+    scan_cache = os.path.join(args.cache, f"scans_{tag}.npz")
+    if os.path.exists(scan_cache):
+        print(f"loading cached scans: {scan_cache}")
+        z = np.load(scan_cache)
+        scans = [z[f"s{i}"] for i in range(n)]
+    else:
+        print(f"rendering {n} ring scans (64 x {args.azimuth} rays, occlusion)...")
+        t0 = time.perf_counter()
+        scans = [
+            render_scan_rings(geom, gt[i], rng, n_beams=args.beams,
+                              n_azimuth=args.azimuth)
+            for i in range(n)
+        ]
+        print(f"  {time.perf_counter() - t0:.0f}s")
+        np.savez(scan_cache, **{f"s{i}": s for i, s in enumerate(scans)})
     sizes = np.array([len(s) for s in scans])
     print(
-        f"  {time.perf_counter() - t0:.0f}s; returns min {sizes.min()} "
+        f"  scan sizes min {sizes.min()} "
         f"mean {int(sizes.mean())} max {sizes.max()}"
     )
 
@@ -79,14 +95,25 @@ def main() -> int:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from reference_mirror import run_odometry
 
-        print("running f64 reference mirror (50 iters, tol 1e-6, f64 KD-tree)...")
-        t0 = time.perf_counter()
-        mirror_poses, _ = run_odometry(scans, voxel_size=0.5, verbose=True)
-        wall = time.perf_counter() - t0
+        mirror_cache = os.path.join(args.cache, f"mirror_{tag}.npz")
+        if os.path.exists(mirror_cache):
+            z = np.load(mirror_cache)
+            mirror_poses, wall = z["poses"], float(z["wall"])
+            print(f"loaded cached mirror poses: {mirror_cache}")
+        else:
+            print("running f64 reference mirror (50 iters, tol 1e-6, f64 KD-tree)...")
+            t0 = time.perf_counter()
+            mirror_poses, _ = run_odometry(scans, voxel_size=0.5, verbose=True)
+            wall = time.perf_counter() - t0
+            np.savez(mirror_cache, poses=mirror_poses, wall=wall)
         ate = ate_rmse(mirror_poses.astype(np.float32), gt)
         t_err, r_err = rpe(mirror_poses.astype(np.float32), gt)
         results["mirror (f64 reference odometry)"] = (ate, t_err, r_err, n / wall)
         print(f"  mirror: {wall:.0f}s, ATE {ate:.3f} m")
+    if args.mirror_only:
+        print("mirror-only: cached; run again without --mirror-only for the "
+              "engine phase")
+        return 0
 
     # --- TPU engine at reference fidelity ----------------------------------
     cap = 1 << int(np.ceil(np.log2(sizes.max())))
