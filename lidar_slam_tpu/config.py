@@ -115,6 +115,24 @@ class PoseGraphConfig:
     # a loop residual couples every step in its range in ONE hop, so CG
     # converges in tens of iterations at any graph length.
     relative_param: bool = True
+    # Per-DISPATCH LM bound for optimizations embedded in a larger program
+    # (the loop-cadence in-graph optimize and the standalone optimize_fn).
+    # An unbounded full-scale first correction runs minutes of LM x CG inside
+    # one dispatch and the tunneled TPU runtime kills the worker as hung;
+    # unconverged chunks set pending_optimize so the next cadence tick (or a
+    # host-driven optimize_chunked) continues from the current poses.
+    inline_max_iterations: int = 10
+    # Inner linear solver per LM step (relative_param only):
+    # 'woodbury' (default) = EXACT damped-GN solve. J^T J + lam I is
+    #   diagonal + rank-6L in relative coordinates (prior/odometry rows are
+    #   diagonal blocks; each loop couples its frame range through one
+    #   adjoint prefix-sum), so Woodbury reduces the solve to one cumsum
+    #   over frames + a 6Lx6L Cholesky — the TPU-native analog of GTSAM's
+    #   direct sparse solve. Measured at 4,500 poses: CG stalled at 100 LM
+    #   iterations / 142 s; woodbury converges in a handful of exact steps.
+    # 'cg' = matrix-free PCG on the autodiff-linearized system (fallback,
+    #   and the only path when relative_param=False).
+    solver: str = "woodbury"
     cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
     cg_tolerance: float = 1e-10        # relative to |b|^2
     lambda_init: float = 1e-5          # GTSAM LevenbergMarquardtParams default

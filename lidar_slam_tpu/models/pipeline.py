@@ -370,11 +370,17 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
         # previous optimization) instead of the raw odometry chain the
         # reference re-optimizes from (pose_graph.cpp:159) — the optimum is
         # identical, LM just gets there in a fraction of the iterations.
+        # LM is bounded per dispatch (inline_max_iterations): an unconverged
+        # chunk reports converged=False and the caller keeps pending_optimize
+        # set so the next cadence tick continues from the updated poses.
         poses, pg_state, n_poses = args
-        res = pg.optimize(pg_state._replace(poses=poses), config.pg)
+        res = pg.optimize(
+            pg_state._replace(poses=poses), config.pg,
+            max_iterations=config.pg.inline_max_iterations,
+        )
         idx = jnp.arange(poses.shape[0])
         new_poses = jnp.where((idx < n_poses)[:, None, None], res.poses, poses)
-        return new_poses, pg_state, n_poses
+        return new_poses, pg_state, n_poses, res.converged
 
     @functools.partial(jax.jit, donate_argnums=0)
     def loop_fn(state: SlamState, frame):
@@ -410,14 +416,15 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
         # arrays — branches capturing the multi-GB cloud DB crash the TPU
         # compiler at KITTI-scale shapes.
         if in_graph_optimize:
-            poses, _, _ = jax.lax.cond(
-                n_found > 0,
+            poses, _, _, converged = jax.lax.cond(
+                state.pending_optimize,  # includes n_found > 0 (set above)
                 optimize_small,
-                lambda args: args,
+                lambda args: (*args, jnp.bool_(True)),
                 (state.poses, state.pg, state.n_poses),
             )
             state = state._replace(
-                poses=poses, pending_optimize=jnp.bool_(False)
+                poses=poses,
+                pending_optimize=state.pending_optimize & ~converged,
             )
         return state, det
 
@@ -430,36 +437,34 @@ def make_optimize_fn(config: SlamConfig):
     The grid is intentionally NOT rebuilt here (reference quirk #7)."""
 
     def optimize_body(state: SlamState):
-        res = pg.optimize(state.pg._replace(poses=state.poses), config.pg)
+        res = pg.optimize(
+            state.pg._replace(poses=state.poses), config.pg,
+            max_iterations=config.pg.inline_max_iterations,
+        )
         idx = jnp.arange(state.poses.shape[0])
         poses = jnp.where(
             (idx < state.n_poses)[:, None, None], res.poses, state.poses
         )
-        state = state._replace(poses=poses, pending_optimize=jnp.bool_(False))
+        state = state._replace(
+            poses=poses, pending_optimize=jnp.logical_not(res.converged)
+        )
         return state, res
 
     return functools.partial(jax.jit, donate_argnums=0)(optimize_body)
 
 
 def make_finalize_fn(config: SlamConfig):
-    """End-of-run: final optimize + full occupancy rebuild
-    (slam_node.cpp:103-108, build_final_global_map :196-209,
-    rebuild_occupancy_grid :223-229)."""
+    """End-of-run occupancy rebuild (build_final_global_map,
+    slam_node.cpp:196-209, rebuild_occupancy_grid :223-229).
 
-    def optimize_body(state: SlamState):
-        res = pg.optimize(state.pg._replace(poses=state.poses), config.pg)
-        idx = jnp.arange(state.poses.shape[0])
-        poses = jnp.where(
-            (idx < state.n_poses)[:, None, None], res.poses, state.poses
-        )
-        return state._replace(poses=poses, pending_optimize=jnp.bool_(False)), res
+    The final optimize (slam_node.cpp:103-108) is NOT in this program: the
+    engine drives it host-chunked first (SlamEngine.finalize) so no single
+    dispatch runs unbounded LM x CG at full scale."""
 
     BLOCK = 16  # frames per rebuild scatter (one big scatter beats F serial ones)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def finalize_fn(state: SlamState):
-        state, res = optimize_body(state)
-
         F = state.poses.shape[0]
         n_blocks = (F + BLOCK - 1) // BLOCK
 
@@ -495,7 +500,7 @@ def make_finalize_fn(config: SlamConfig):
             return grid.at[cx, cy].max(keep.astype(jnp.uint8))
 
         grid = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(state.grid))
-        return state._replace(grid=grid), res
+        return state._replace(grid=grid)
 
     return finalize_fn
 
@@ -648,8 +653,24 @@ class SlamEngine:
             self._dispatch_pending()
 
     def finalize(self):
+        """Final optimize to convergence + occupancy rebuild
+        (slam_node.cpp:103-108). The optimize runs host-chunked —
+        ``inline_max_iterations`` LM iterations per dispatch — so no single
+        program runs unbounded at full scale; the rebuild is one dispatch."""
         self.flush()
-        self.state, res = self._finalize_fn(self.state)
+        res = pg.optimize_chunked(
+            self.state.pg._replace(poses=self.state.poses), self.config.pg,
+            chunk=self.config.pg.inline_max_iterations,
+        )
+        idx = jnp.arange(self.state.poses.shape[0])
+        poses = jnp.where(
+            (idx < self.state.n_poses)[:, None, None],
+            res.poses, self.state.poses,
+        )
+        self.state = self.state._replace(
+            poses=poses, pending_optimize=jnp.bool_(False)
+        )
+        self.state = self._finalize_fn(self.state)
         return res
 
     # -- results -----------------------------------------------------------

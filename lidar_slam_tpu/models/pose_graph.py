@@ -27,6 +27,7 @@ right retraction T . Exp(delta). The minimum coincides with GTSAM's.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -282,6 +283,100 @@ def _cg_solve(matvec, b, iters: int, tol: float):
     return x
 
 
+def _woodbury_solve(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
+    """EXACT damped Gauss-Newton step under the relative parameterization —
+    the TPU-native replacement for GTSAM's direct sparse solve
+    (pose_graph.cpp:147-160).
+
+    In relative coordinates the hand-linearized whitened Jacobian is
+    block-structured:
+      prior row:  d_0 / sig_p                      (diagonal block 0)
+      odom row k: (w_k / (sig_o s_k)) * d_k        (diagonal blocks 1..F-1)
+      loop row l: sgn_l W_l H_l (U_hi - U_lo),     U_m = sum_{m'<=m} G_m' d_m'
+        with G_m = Ad(T_m), H_l = Ad(T_to)^-1, W_l = diag(w_l / sig_l)
+    (first-order, Log-Jacobian ~ I — the standard pose-graph linearization;
+    LM accepts/rejects on the TRUE cost so the approximation only shapes the
+    step, not the optimum). So J^T J + lam I = D + B B^T with DIAGONAL D
+    (6F) and B of rank 6L — Woodbury gives the exact solve with one cumsum
+    over frames, O(L^2) 6x6 block assembly, and one 6Lx6L Cholesky, instead
+    of CG whose matvecs differentiate through the pose-chain scan (measured
+    at 4,500 poses: 142 s and stalled at 100 LM iterations vs milliseconds
+    and exact steps here).
+
+    Returns delta (F, 6) solving (J^T J + lam I) delta = -J^T r0.
+    """
+    F = state.poses.shape[0]
+    L = state.loop_from.shape[0]
+    T = state.poses
+    prior_sig, odom_sig, loop_sig = _whiten(cfg)
+
+    k = jnp.arange(1, F)
+    odom_w = (state.odom_valid[1:] & (k < state.n_poses)).astype(jnp.float32)
+    scale = jnp.maximum(state.odom_scale[1:], 1e-12)
+    w_odom = odom_w[:, None] / (odom_sig[None, :] * scale[:, None])  # (F-1, 6)
+    w_prior = 1.0 / prior_sig                                        # (6,)
+    loop_w = state.loop_valid.astype(jnp.float32)
+    w_loop = loop_w[:, None] / loop_sig[None, :]                     # (L, 6)
+
+    # Diagonal D + lam (6F as (F, 6)).
+    D = jnp.concatenate([(w_prior**2)[None, :], w_odom**2], axis=0) + lam
+    Dinv = 1.0 / D
+
+    G = se3.adjoint(T)                            # (F, 6, 6)
+    Gt = jnp.swapaxes(G, -1, -2)
+    H = se3.adjoint(se3.inverse(T[state.loop_to]))  # (L, 6, 6)
+
+    lo = jnp.minimum(state.loop_from, state.loop_to)
+    hi = jnp.maximum(state.loop_from, state.loop_to)
+    sgn = jnp.where(state.loop_to >= state.loop_from, 1.0, -1.0)
+    # (invalid loops are zeroed through w_loop; their K blocks become
+    # identity via the +I term and their alpha solves to 0)
+
+    # X_l = sgn_l W_l H_l  (the per-loop row transform)
+    X = sgn[:, None, None] * w_loop[:, :, None] * H  # (L, 6, 6)
+
+    # r0 rows: [prior | odom | loop]
+    r_prior, r_odom, r_loop = r0[0], r0[1:F], r0[F:]
+
+    def BT(z):
+        """(B^T z)_l = E_l z for z (F, 6): sgn W H (V_hi - V_lo)."""
+        V = jnp.cumsum(jnp.einsum("fij,fj->fi", G, z), axis=0)  # (F, 6)
+        return jnp.einsum("lij,lj->li", X, V[hi] - V[lo])       # (L, 6)
+
+    def B(y):
+        """sum_l E_l^T y_l for y (L, 6): difference-array + cumsum."""
+        c = jnp.einsum("lji,lj->li", X, y)  # X^T y per loop (L, 6)
+        diff = jnp.zeros((F + 1, 6), r0.dtype)
+        diff = diff.at[lo + 1].add(c)
+        diff = diff.at[hi + 1].add(-c)
+        A = jnp.cumsum(diff[:F], axis=0)    # (F, 6) active-range sums
+        return jnp.einsum("fji,fj->fi", G, A)  # G^T A per frame
+
+    # g = J^T r0
+    g_diag = jnp.concatenate(
+        [(w_prior * r_prior)[None, :], w_odom * r_odom], axis=0
+    )
+    g = g_diag + B(r_loop)
+
+    # K = I + B^T D^-1 B via prefix sums of G D^-1 G^T.
+    GDG = jnp.einsum("fij,fj,fkj->fik", G, Dinv, G)     # (F, 6, 6)
+    S = jnp.cumsum(GDG, axis=0)                          # (F, 6, 6) prefix
+    a = jnp.maximum(lo[:, None], lo[None, :])            # (L, L)
+    b = jnp.minimum(hi[:, None], hi[None, :])
+    Sb = S[b]                                            # (L, L, 6, 6)
+    Sa = S[a]
+    M = jnp.where((b > a)[..., None, None], Sb - Sa, 0.0)
+    Kb = jnp.einsum("lab,lmbc,mdc->lamd", X, M, X)       # (L, 6, L, 6)
+    K = Kb.reshape(L * 6, L * 6) + jnp.eye(L * 6, dtype=r0.dtype)
+
+    rhs = -g
+    y1 = Dinv * rhs
+    bt = BT(y1).reshape(L * 6)
+    cf = jax.scipy.linalg.cho_factor(K)
+    alpha = jax.scipy.linalg.cho_solve(cf, bt).reshape(L, 6)
+    return y1 - Dinv * B(alpha)
+
+
 class OptimizeResult(NamedTuple):
     poses: jnp.ndarray
     final_error: jnp.ndarray
@@ -289,16 +384,34 @@ class OptimizeResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def optimize(state: PoseGraphState, cfg: PoseGraphConfig = PoseGraphConfig()) -> OptimizeResult:
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iterations"))
+def optimize(
+    state: PoseGraphState,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    max_iterations: int | None = None,
+    resume: OptimizeResult | None = None,
+) -> OptimizeResult:
     """Levenberg-Marquardt over the whole graph (replaces pose_graph.cpp:147-171).
 
     Outer LM loop: linearize at current poses (via jvp/vjp — J is never
     formed), CG-solve (J^T J + lambda I) d = -J^T r, retract, accept/reject
     with GTSAM's lambda schedule, stop on relative/absolute error tolerance.
+
+    ``max_iterations`` overrides ``cfg.max_iterations`` for THIS call —
+    used to bound the LM work inside a single device dispatch: a full-scale
+    (4,500-pose) first correction can need minutes of LM x CG inside one
+    program, which the tunneled TPU runtime kills as a hung worker. Bounded
+    chunks + ``resume`` (the previous chunk's result; its lambda is NOT
+    carried — restarting at lambda_init after accepted steps matches a fresh
+    warm-started call) let the host iterate to convergence; see
+    :func:`optimize_chunked`.
     """
     F = state.poses.shape[0]
     zero = jnp.zeros((F, 6), jnp.float32)
+    if max_iterations is not None:
+        cfg = dataclasses.replace(cfg, max_iterations=max_iterations)
+    if resume is not None:
+        state = state._replace(poses=resume.poses)
 
     def cost_at(poses):
         return 0.5 * jnp.sum(
@@ -329,15 +442,21 @@ def optimize(state: PoseGraphState, cfg: PoseGraphConfig = PoseGraphConfig()) ->
             def retract(d):
                 return se3.compose(poses, se3.exp(d))
 
-        r0, jvp_lin = jax.linearize(rfun, zero)
-        _, vjp = jax.vjp(rfun, zero)
+        if cfg.relative_param and cfg.solver == "woodbury":
+            # Exact damped-GN step: hand-linearized diagonal + rank-6L
+            # structure — no autodiff through the pose-chain scan, no CG.
+            r0 = rfun(zero)
+            delta = _woodbury_solve(st, cfg, lam, r0)
+        else:
+            r0, jvp_lin = jax.linearize(rfun, zero)
+            _, vjp = jax.vjp(rfun, zero)
 
-        def matvec(x):
-            (jt,) = vjp(jvp_lin(x))
-            return jt + lam * x
+            def matvec(x):
+                (jt,) = vjp(jvp_lin(x))
+                return jt + lam * x
 
-        (g,) = vjp(r0)  # J^T r
-        delta = _cg_solve(matvec, -g, cfg.cg_iterations, cfg.cg_tolerance)
+            (g,) = vjp(r0)  # J^T r
+            delta = _cg_solve(matvec, -g, cfg.cg_iterations, cfg.cg_tolerance)
         new_poses = se3.orthonormalize(retract(delta))
         new_cost = cost_at(new_poses)
         accept = new_cost < cost
@@ -356,3 +475,234 @@ def optimize(state: PoseGraphState, cfg: PoseGraphConfig = PoseGraphConfig()) ->
     init = (jnp.int32(0), state.poses, jnp.float32(cfg.lambda_init), cost0, jnp.bool_(False))
     it, poses, _, cost, done = jax.lax.while_loop(lm_cond, lm_body, init)
     return OptimizeResult(poses=poses, final_error=cost, iterations=it, converged=done)
+
+
+def optimize_host(state: PoseGraphState, cfg: PoseGraphConfig,
+                  max_iterations: int | None = None) -> OptimizeResult:
+    """f64 Woodbury LM on the HOST — the precision backstop.
+
+    The relative-parameterization normal equations are fundamentally
+    f64-scale at KITTI extents: whitened lever arms reach |t|/sigma ~ 750 m
+    / 5 mrad ~ 1.5e5, so J^T J spans ~1e10 of dynamic range and EVERY f32
+    formulation of the solve (CG or Woodbury, any stage) destroys the step
+    (measured: bisecting f32 into any single stage of the f64 pipeline
+    raises the one-step cost from 1.2e7 to >1e9 on a drifted 4,500-pose
+    chain). This mirrors why the reference leans on GTSAM's f64 direct
+    solves (pose_graph.cpp:147-160). Device LM steps stay f32 (cheap,
+    cost-guarded — a bad step is rejected, never corrupting); this host
+    solve runs at finalize (or on demand) when the device chunks report
+    non-convergence. NumPy f64 end to end; ~0.1 s/iteration at 4,500 poses.
+    """
+    import numpy as np
+
+    F = int(state.poses.shape[0])
+    n = int(state.n_poses)
+    max_it = cfg.max_iterations if max_iterations is None else max_iterations
+
+    T = np.asarray(state.poses, np.float64)
+    odom_rel = np.asarray(state.odom_rel, np.float64)
+    odom_valid = np.asarray(state.odom_valid)
+    odom_scale = np.asarray(state.odom_scale, np.float64)
+    lf = np.asarray(state.loop_from)
+    lt = np.asarray(state.loop_to)
+    loop_rel = np.asarray(state.loop_rel, np.float64)
+    loop_valid = np.asarray(state.loop_valid)
+    L = lf.shape[0]
+
+    ps, osig, lsig = (np.asarray(s, np.float64) for s in _whiten(cfg))
+    k = np.arange(1, F)
+    odom_w = (odom_valid[1:] & (k < n)).astype(np.float64)
+    sc = np.maximum(odom_scale[1:], 1e-12)
+    w_odom = odom_w[:, None] / (osig[None, :] * sc[:, None])
+    w_prior = 1.0 / ps
+    lw = loop_valid.astype(np.float64)
+    w_loop = lw[:, None] / lsig[None, :]
+    lo = np.minimum(lf, lt)
+    hi = np.maximum(lf, lt)
+    sgn = np.where(lt >= lf, 1.0, -1.0)
+
+    def hat(v):
+        out = np.zeros(v.shape[:-1] + (3, 3))
+        out[..., 0, 1], out[..., 0, 2] = -v[..., 2], v[..., 1]
+        out[..., 1, 0], out[..., 1, 2] = v[..., 2], -v[..., 0]
+        out[..., 2, 0], out[..., 2, 1] = -v[..., 1], v[..., 0]
+        return out
+
+    def adj(Ts):
+        R, t = Ts[..., :3, :3], Ts[..., :3, 3]
+        top = np.concatenate([R, np.zeros_like(R)], -1)
+        bot = np.concatenate([hat(t) @ R, R], -1)
+        return np.concatenate([top, bot], -2)
+
+    def log_se3(Ts):
+        R, t = Ts[..., :3, :3], Ts[..., :3, 3]
+        tr = np.clip((np.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+        th = np.arccos(tr)
+        sin_th = np.sin(th)
+        ax = np.stack(
+            [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0],
+             R[..., 1, 0] - R[..., 0, 1]], -1)
+        small = th < 1e-7
+        fac = np.where(small, 0.5 + th * th / 12.0,
+                       th / np.maximum(2.0 * sin_th, 1e-300))
+        w = ax * fac[..., None]
+        W = hat(w)
+        th2 = np.maximum(th * th, 1e-300)
+        B = np.where(small, 1.0 / 12.0,
+                     (1.0 - (th * np.cos(th / 2.0))
+                      / np.maximum(2.0 * np.sin(th / 2.0), 1e-300)) / th2)
+        I = np.broadcast_to(np.eye(3), W.shape)
+        Vinv = I - 0.5 * W + B[..., None, None] * (W @ W)
+        v = np.einsum("...ij,...j->...i", Vinv, t)
+        return np.concatenate([w, v], -1)
+
+    rels = np.linalg.inv(T[:-1]) @ T[1:]
+    meas_inv_odom = np.linalg.inv(odom_rel[1:])
+    meas_inv_loop = np.linalg.inv(loop_rel)
+
+    def residuals(P):
+        rp = (log_se3(P[0]) * w_prior)[None, :]
+        rel_cur = np.linalg.inv(P[:-1]) @ P[1:]
+        ro = log_se3(meas_inv_odom @ rel_cur) * w_odom
+        rl = log_se3(
+            meas_inv_loop @ (np.linalg.inv(P[lf]) @ P[lt])
+        ) * w_loop
+        return rp, ro, rl
+
+    def cost_of(parts):
+        return 0.5 * sum(float(np.sum(r * r)) for r in parts)
+
+    def orthonorm(P):
+        u, _, vt = np.linalg.svd(P[..., :3, :3])
+        out = P.copy()
+        out[..., :3, :3] = u @ vt
+        return out
+
+    P = T.copy()
+    parts = residuals(P)
+    cost = cost_of(parts)
+    lam = cfg.lambda_init
+    it = 0
+    conv = False
+    while it < max_it and lam <= cfg.lambda_max and not conv:
+        rels_P = np.linalg.inv(P[:-1]) @ P[1:]
+        G = adj(P)
+        H = adj(np.linalg.inv(P[lt]))
+        X = sgn[:, None, None] * w_loop[:, :, None] * H
+        D = np.concatenate([(w_prior**2)[None, :], w_odom**2], 0) + lam
+        Dinv = 1.0 / D
+        rp, ro, rl = parts
+
+        def B_apply(y):
+            c = np.einsum("lji,lj->li", X, y)
+            diff = np.zeros((F + 1, 6))
+            np.add.at(diff, lo + 1, c)
+            np.add.at(diff, hi + 1, -c)
+            return np.einsum("fji,fj->fi", G, np.cumsum(diff[:F], 0))
+
+        g = np.concatenate([(w_prior * rp[0])[None, :], w_odom * ro], 0)
+        g = g + B_apply(rl)
+        GDG = np.einsum("fij,fj,fkj->fik", G, Dinv, G)
+        S = np.cumsum(GDG, 0)
+        a = np.maximum(lo[:, None], lo[None, :])
+        b = np.minimum(hi[:, None], hi[None, :])
+        M = np.where((b > a)[..., None, None], S[b] - S[a], 0.0)
+        K = np.einsum("lab,lmbc,mdc->lamd", X, M, X).reshape(L * 6, L * 6)
+        K = K + np.eye(L * 6)
+        y1 = Dinv * (-g)
+        V = np.cumsum(np.einsum("fij,fj->fi", G, y1), 0)
+        bt = np.einsum("lij,lj->li", X, V[hi] - V[lo]).reshape(-1)
+        alpha = np.linalg.solve(K, bt).reshape(L, 6)
+        d = y1 - Dinv * B_apply(alpha)
+
+        # retract: rebuild poses through the relative chain
+        def exp_se3(xi):
+            w, v = xi[..., :3], xi[..., 3:]
+            th = np.linalg.norm(w, axis=-1)
+            W = hat(w)
+            th2 = np.maximum(th * th, 1e-300)
+            A = np.where(th < 1e-7, 1.0 - th2 / 6.0, np.sin(th) / np.maximum(th, 1e-300))
+            Bc = np.where(th < 1e-7, 0.5 - th2 / 24.0, (1.0 - np.cos(th)) / th2)
+            C = np.where(th < 1e-7, 1.0 / 6.0 - th2 / 120.0,
+                         (th - np.sin(th)) / np.maximum(th2 * th, 1e-300))
+            I = np.broadcast_to(np.eye(3), W.shape)
+            R = I + A[..., None, None] * W + Bc[..., None, None] * (W @ W)
+            Vm = I + Bc[..., None, None] * W + C[..., None, None] * (W @ W)
+            out = np.broadcast_to(np.eye(4), xi.shape[:-1] + (4, 4)).copy()
+            out[..., :3, :3] = R
+            out[..., :3, 3] = np.einsum("...ij,...j->...i", Vm, v)
+            return out
+
+        E = exp_se3(d)
+        newP = np.empty_like(P)
+        newP[0] = P[0] @ E[0]
+        M0 = rels_P @ E[1:]
+        for m in range(1, F):
+            newP[m] = newP[m - 1] @ M0[m - 1]
+        newP = orthonorm(newP)
+        new_parts = residuals(newP)
+        new_cost = cost_of(new_parts)
+        if new_cost < cost:
+            decrease = cost - new_cost
+            conv = (decrease < cfg.absolute_error_tol
+                    or decrease < cfg.relative_error_tol * cost)
+            P, parts, cost = newP, new_parts, new_cost
+            lam = max(lam / cfg.lambda_factor, 1e-12)
+        else:
+            lam *= cfg.lambda_factor
+        it += 1
+
+    return OptimizeResult(
+        poses=jnp.asarray(P.astype(np.float32)),
+        final_error=jnp.float32(cost),
+        iterations=jnp.int32(it),
+        converged=jnp.bool_(conv),
+    )
+
+
+def optimize_chunked(
+    state: PoseGraphState,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    chunk: int = 10,
+) -> OptimizeResult:
+    """Host-driven LM-to-convergence in bounded device dispatches.
+
+    Each dispatch runs at most ``chunk`` LM iterations (the one host sync per
+    chunk reads the 1-bit done flag). Needed at full KITTI scale: an
+    unbounded first correction (drifted 4,500-pose chain) runs minutes of
+    LM x CG inside one program and the tunneled TPU runtime kills the worker
+    as hung. GTSAM (pose_graph.cpp:147-160) iterates on the host for the
+    same effect.
+    """
+    res = None
+    total_it = 0
+    prev_err = float("inf")
+    for _ in range((cfg.max_iterations + chunk - 1) // chunk):
+        res = optimize(state, cfg, max_iterations=chunk, resume=res)
+        total_it += int(res.iterations)
+        if bool(res.converged) or int(res.iterations) < chunk:
+            break
+        err = float(res.final_error)
+        if err > prev_err * 0.99:
+            # a whole chunk moved the cost < 1% — f32 has hit its dynamic-
+            # range wall on this graph; stop burning device chunks and go
+            # straight to the f64 host rescue below
+            break
+        prev_err = err
+    if not bool(res.converged):
+        # Device f32 LM stalled (large-extent graphs exceed f32's dynamic
+        # range — see optimize_host). Finish on the host in f64, warm-started
+        # from whatever the device chunks achieved.
+        host = optimize_host(
+            state._replace(poses=res.poses), cfg,
+            max_iterations=cfg.max_iterations,
+        )
+        if float(host.final_error) < float(res.final_error):
+            res = host
+        total_it += int(host.iterations)
+    return OptimizeResult(
+        poses=res.poses,
+        final_error=res.final_error,
+        iterations=jnp.int32(total_it),
+        converged=res.converged,
+    )

@@ -68,6 +68,19 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
     return from_rt(Rt, t_inv)
 
 
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint (…, 6, 6) for the [omega, v] twist ordering:
+    Ad_T = [[R, 0], [hat(t) R, R]] — transports right-perturbation twists,
+    X Exp(d) = X ... Exp(Ad_{Y^{-1}} d) ... commutation (used by the pose
+    graph's hand-linearized relative-parameterization Jacobian)."""
+    R = rot(T)
+    tR = jnp.matmul(hat(trans(T)), R, precision=_PREC)
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, Z], axis=-1)
+    bot = jnp.concatenate([tR, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def hat(w: jnp.ndarray) -> jnp.ndarray:
     """Skew-symmetric matrix [w]_x of (…, 3)."""
     zeros = jnp.zeros_like(w[..., 0])

@@ -50,18 +50,24 @@ def make_batched_fns(config: SlamConfig, mesh: Optional[Mesh] = None,
             def opt_one(poses_b, pg_b, n_b):
                 from ..models import pose_graph as pg
 
-                res = pg.optimize(pg_b._replace(poses=poses_b), config.pg)
+                res = pg.optimize(
+                    pg_b._replace(poses=poses_b), config.pg,
+                    max_iterations=config.pg.inline_max_iterations,
+                )
                 idx = jnp.arange(poses_b.shape[0])
-                return jnp.where(
-                    (idx < n_b)[:, None, None], res.poses, poses_b
+                return (
+                    jnp.where((idx < n_b)[:, None, None], res.poses, poses_b),
+                    res.converged,
                 )
 
-            new_poses = jax.vmap(opt_one)(poses, pgs, n_poses)
+            new_poses, conv = jax.vmap(opt_one)(poses, pgs, n_poses)
             # sequences with nothing pending keep their poses untouched
             new_poses = jnp.where(
                 pending[:, None, None, None], new_poses, poses
             )
-            return new_poses, jnp.zeros_like(pending)
+            # unconverged bounded chunks stay pending; the next detection
+            # pass (or finalize) continues from the updated poses
+            return new_poses, pending & ~conv
 
         poses, pending = jax.lax.cond(
             jnp.any(state.pending_optimize),
@@ -141,7 +147,35 @@ class BatchedSlamEngine:
         return found
 
     def finalize(self):
-        self.state, res = self._finalize(self.state)
+        """Final batched optimize to convergence (host-chunked: at most
+        ``inline_max_iterations`` LM iterations per dispatch, one (B,)-flag
+        sync per chunk) + the vmapped occupancy rebuild."""
+        cfg = self.config.pg
+        chunks = max(cfg.max_iterations // max(cfg.inline_max_iterations, 1), 1)
+        res = None
+        for _ in range(chunks):
+            self.state, res = self._optimize(self.state)
+            if not bool(jnp.any(self.state.pending_optimize)):
+                break
+        pending = np.asarray(self.state.pending_optimize)
+        if pending.any():
+            # f32 device LM stalled for some sequences; f64 host rescue
+            # per stalled sequence (see pose_graph.optimize_host)
+            from ..models import pose_graph as pg
+
+            poses = np.asarray(self.state.poses)
+            for b in np.where(pending)[0]:
+                st_b = jax.tree.map(lambda x: x[b], self.state.pg)
+                host = pg.optimize_host(
+                    st_b._replace(poses=self.state.poses[b]), cfg
+                )
+                nb = int(self.state.n_poses[b])
+                poses[b, :nb] = np.asarray(host.poses)[:nb]
+            self.state = self.state._replace(
+                poses=jnp.asarray(poses),
+                pending_optimize=jnp.zeros_like(self.state.pending_optimize),
+            )
+        self.state = self._finalize(self.state)
         return res
 
     def trajectories(self) -> np.ndarray:

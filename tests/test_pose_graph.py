@@ -173,3 +173,99 @@ def test_lm_kitti_scale_chain_with_loops():
     ate1 = ate_rmse(np.asarray(res.poses[:n]), gt.astype(np.float32))
     assert ate1 < ate0 / 4.0, (ate0, ate1)
     assert float(res.final_error) < 100.0  # from ~6.2e6: loops actually closed
+
+
+def test_woodbury_matches_cg_optimum():
+    """The exact Woodbury damped-GN solver and the autodiff-CG solver reach
+    the same optimum on a mid-size noisy loop graph (the linearizations
+    differ — hand first-order vs autodiff — but LM accepts on the true cost,
+    so the fixed point is the same)."""
+    import numpy as np
+
+    from lidar_slam_tpu.config import PoseGraphConfig
+    from lidar_slam_tpu.utils.metrics import ate_rmse
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.profile_pose_graph import build_graph
+
+    n, cap = 256, 256
+    gt, rels, loops = build_graph(n, 6, seed=5)
+    chain = np.zeros((n, 4, 4), np.float64)
+    chain[0] = np.eye(4)
+    for i in range(1, n):
+        chain[i] = chain[i - 1] @ rels[i]
+
+    st = pg.init_state(cap, max(len(loops), 1))
+    odom_rel = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+    odom_rel[1:n] = rels[1:n].astype(np.float32)
+    odom_valid = np.zeros(cap, bool)
+    odom_valid[1:n] = True
+    st = st._replace(
+        poses=jnp.asarray(chain.astype(np.float32)),
+        n_poses=jnp.int32(n),
+        odom_rel=jnp.asarray(odom_rel),
+        odom_valid=jnp.asarray(odom_valid),
+    )
+    for i, j, rel in loops:
+        st = pg.add_loop(st, jnp.int32(i), jnp.int32(j),
+                         jnp.asarray(rel, jnp.float32))
+
+    res_w = pg.optimize(st, PoseGraphConfig(solver="woodbury"))
+    res_c = pg.optimize(st, PoseGraphConfig(solver="cg"))
+    ate_w = ate_rmse(np.asarray(res_w.poses[:n]), gt.astype(np.float32))
+    ate_c = ate_rmse(np.asarray(res_c.poses[:n]), gt.astype(np.float32))
+    # same basin, comparable error; woodbury must not be worse
+    assert float(res_w.final_error) <= float(res_c.final_error) * 1.05, (
+        float(res_w.final_error), float(res_c.final_error))
+    assert ate_w <= ate_c * 1.2 + 0.05, (ate_w, ate_c)
+
+
+def test_full_kitti_scale_chunked_with_host_rescue():
+    """4,500-pose drifted chain + 20 loops — the full KITTI seq-00 scale.
+    optimize_chunked (bounded f32 device dispatches + f64 host rescue when
+    they stall) must CONVERGE and cut ATE >= 7x. f32 cannot solve this
+    system at 750 m route extents (whitened lever arms span ~1e10 of
+    dynamic range — every f32 stage bisected breaks the step), mirroring
+    the reference's reliance on GTSAM's f64 solves (pose_graph.cpp:147)."""
+    import time
+
+    import numpy as np
+
+    from lidar_slam_tpu.config import PoseGraphConfig
+    from lidar_slam_tpu.utils.metrics import ate_rmse
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.profile_pose_graph import build_graph
+
+    n = cap = 4500
+    gt, rels, loops = build_graph(n, 20, seed=0)
+    chain = np.zeros((n, 4, 4), np.float64)
+    chain[0] = np.eye(4)
+    for i in range(1, n):
+        chain[i] = chain[i - 1] @ rels[i]
+    ate0 = ate_rmse(chain.astype(np.float32), gt.astype(np.float32))
+
+    st = pg.init_state(cap, max(len(loops), 1))
+    odom_rel = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+    odom_rel[1:n] = rels[1:n].astype(np.float32)
+    odom_valid = np.zeros(cap, bool)
+    odom_valid[1:n] = True
+    st = st._replace(
+        poses=jnp.asarray(chain.astype(np.float32)),
+        n_poses=jnp.int32(n),
+        odom_rel=jnp.asarray(odom_rel),
+        odom_valid=jnp.asarray(odom_valid),
+    )
+    for i, j, rel in loops:
+        st = pg.add_loop(st, jnp.int32(i), jnp.int32(j),
+                         jnp.asarray(rel, jnp.float32))
+
+    t0 = time.perf_counter()
+    res = pg.optimize_chunked(st, PoseGraphConfig())
+    wall = time.perf_counter() - t0
+    ate1 = ate_rmse(np.asarray(res.poses[:n]), gt.astype(np.float32))
+    assert ate1 < ate0 / 7.0, (ate0, ate1)
+    assert float(res.final_error) < 100.0, float(res.final_error)
+    # the host rescue itself is sub-second; the whole path (incl. bounded
+    # device chunks) must stay far under the reference's per-loop budget
+    assert wall < 300.0, wall

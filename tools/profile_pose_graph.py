@@ -106,14 +106,17 @@ def main() -> int:
     for i, j, rel in loops:
         st = pg.add_loop(st, jnp.int32(i), jnp.int32(j), jnp.asarray(rel, jnp.float32))
 
+    # host-chunked: bounded LM per dispatch (an unbounded full-scale first
+    # correction runs minutes inside one program and the tunneled TPU runtime
+    # kills the worker as hung)
     cfg = PoseGraphConfig()
     t0 = time.perf_counter()
-    res = pg.optimize(st, cfg)
+    res = pg.optimize_chunked(st, cfg, chunk=cfg.inline_max_iterations)
     np.asarray(res.poses)
     print(f"cold optimize compile+run: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    res = pg.optimize(st, cfg)
+    res = pg.optimize_chunked(st, cfg, chunk=cfg.inline_max_iterations)
     np.asarray(res.final_error)
     cold = time.perf_counter() - t0
     ate1 = ate_rmse(np.asarray(res.poses[:n]), gt.astype(np.float32))
@@ -126,7 +129,7 @@ def main() -> int:
     # warm restart (the engine's steady-state optimize after a new loop)
     st_warm = st._replace(poses=res.poses)
     t0 = time.perf_counter()
-    res2 = pg.optimize(st_warm, cfg)
+    res2 = pg.optimize_chunked(st_warm, cfg, chunk=cfg.inline_max_iterations)
     np.asarray(res2.final_error)
     warm = time.perf_counter() - t0
     print(
