@@ -27,6 +27,8 @@ Environment knobs:
                                  in f64; 1e-4 converges in ~6 iterations at
                                  f32 with slightly BETTER ATE)
   BENCH_BLOCK    (default 10)    scans per device dispatch (lax.scan block)
+  BENCH_NOLOOP   (default 0)     1 = disable the loop-closure cadence
+                                 (odometry-only ablation for profiling)
   BENCH_WARM     (default 1)     constant-velocity ICP warm start
   BENCH_KNN      (default auto)  1-NN backend
   BENCH_HOST_VOX (default 1)     voxelize on host (C++ loader path)
@@ -54,6 +56,8 @@ def main() -> int:
     icp_sample = int(os.environ.get("BENCH_SAMPLE", 8192))
     icp_tol = float(os.environ.get("BENCH_TOL", 1e-4))
     block = int(os.environ.get("BENCH_BLOCK", 10))
+    noloop = os.environ.get("BENCH_NOLOOP", "0") == "1"
+    nwin = int(os.environ.get("BENCH_NWIN", 0))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     knn_backend = os.environ.get("BENCH_KNN", "auto")
     runs = int(os.environ.get("BENCH_RUNS", 3))
@@ -100,6 +104,10 @@ def main() -> int:
         lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=icp_tol),
         knn_backend=knn_backend,
     )
+    if noloop:
+        cfg = cfg.replace(loop_check_every=10**9)
+    if nwin:
+        cfg = cfg.replace(normal_window=nwin)
     log(
         f"config: F={cfg.max_frames} ds={ds_pts} lc={cfg.lc_points} "
         f"sample={icp_sample} block={block} warm={warm} "

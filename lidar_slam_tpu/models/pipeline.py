@@ -558,6 +558,21 @@ class SlamEngine:
         out[:n] = pts[:n]
         return jnp.asarray(out), jnp.int32(n)
 
+    def _pad_scan_np(self, pts: np.ndarray):
+        """Host-side padding WITHOUT a device put (block mode buffers numpy
+        and uploads one stacked block — every host->device call is a
+        blocking ~9 ms RPC on the tunneled runtime, so per-scan puts cost
+        more than the step compute itself)."""
+        cap = (
+            self.config.max_points
+            if self.config.host_voxelize
+            else self.config.max_raw_points
+        )
+        n = min(len(pts), cap)
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = pts[:n]
+        return out, np.int32(n)
+
     def push_scan(self, pts: np.ndarray, sync_info: bool = False,
                   normals: Optional[np.ndarray] = None) -> Optional[dict]:
         """Process one raw scan (host entry point).
@@ -568,8 +583,13 @@ class SlamEngine:
         a dict describing any accepted detection is returned.
 
         ``normals``: host-computed per-point normals (config.host_normals)."""
-        raw, count = self.pad_scan(pts)
+        block_mode = self._block > 1 and self._frame > 0
+        if block_mode:
+            raw, count = self._pad_scan_np(pts)
+        else:
+            raw, count = self.pad_scan(pts)
         kw = {}
+        nrm_arr = None
         if self.config.host_normals:
             cap = raw.shape[0]
             nrm = np.zeros((cap, 3), np.float32)
@@ -583,7 +603,9 @@ class SlamEngine:
                 nrm[:n] = normals_radius_host(
                     pts[:n], self.config.effective_normal_radius
                 )
-            kw["raw_normals"] = jnp.asarray(nrm)
+            nrm_arr = nrm if block_mode else jnp.asarray(nrm)
+            if not block_mode:
+                kw["raw_normals"] = nrm_arr
         info = None
         if self._frame == 0:
             self.state = self._init_fn(self.state, raw, count, **kw)
@@ -591,7 +613,7 @@ class SlamEngine:
             if self._block > 1:
                 if not self._pending:
                     self._pending_frame0 = self._frame
-                self._pending.append((raw, count, kw.get("raw_normals")))
+                self._pending.append((raw, count, nrm_arr))
                 if self._frame % self._block == 0:
                     self._dispatch_pending()
             else:
@@ -626,21 +648,24 @@ class SlamEngine:
         n = len(self._pending)
         frame0 = self._pending_frame0
         if n == self._block:
-            raws = jnp.stack([p[0] for p in self._pending])
-            counts = jnp.stack([p[1] for p in self._pending])
+            # ONE host->device put for the whole block (numpy stack on host):
+            # per-scan puts are blocking ~9 ms RPCs on the tunneled runtime.
+            raws = jnp.asarray(np.stack([p[0] for p in self._pending]))
+            counts = jnp.asarray(np.stack([p[1] for p in self._pending]))
             kw = {}
             if self._pending[0][2] is not None:
-                kw["raw_normals_blk"] = jnp.stack(
-                    [p[2] for p in self._pending]
+                kw["raw_normals_blk"] = jnp.asarray(
+                    np.stack([p[2] for p in self._pending])
                 )
             self.state = self._block_fn(
                 self.state, raws, counts, jnp.int32(frame0), **kw
             )
         else:
             for k, (raw, count, nrm) in enumerate(self._pending):
-                kw = {} if nrm is None else {"raw_normals": nrm}
+                kw = {} if nrm is None else {"raw_normals": jnp.asarray(nrm)}
                 self.state = self._step_fn(
-                    self.state, raw, count, jnp.int32(frame0 + k), **kw
+                    self.state, jnp.asarray(raw), jnp.int32(count),
+                    jnp.int32(frame0 + k), **kw
                 )
         self._pending.clear()
 
