@@ -22,7 +22,8 @@ Environment knobs:
   BENCH_POINTS   (default 65536) raw rendered points per scan
   BENCH_DS       (default 32768) downsampled cloud capacity
   BENCH_LC       (default 0)     loop-DB cloud capacity (0 = DS)
-  BENCH_SAMPLE   (default 8192)  ICP source subsample (0 = all points)
+  BENCH_SAMPLE   (default 4096)  ICP source subsample (0 = all points)
+  BENCH_TGT      (default 0)     ICP target subsample (0 = full cloud)
   BENCH_TOL      (default 1e-4)  ICP |delta-error| tolerance (reference: 1e-6
                                  in f64; 1e-4 converges in ~6 iterations at
                                  f32 with slightly BETTER ATE)
@@ -53,7 +54,8 @@ def main() -> int:
     raw_pts = int(os.environ.get("BENCH_POINTS", 65536))
     ds_pts = int(os.environ.get("BENCH_DS", 32768))
     lc_pts = int(os.environ.get("BENCH_LC", 0))
-    icp_sample = int(os.environ.get("BENCH_SAMPLE", 8192))
+    icp_sample = int(os.environ.get("BENCH_SAMPLE", 4096))
+    icp_target = int(os.environ.get("BENCH_TGT", 0))
     icp_tol = float(os.environ.get("BENCH_TOL", 1e-4))
     block = int(os.environ.get("BENCH_BLOCK", 10))
     noloop = os.environ.get("BENCH_NOLOOP", "0") == "1"
@@ -99,9 +101,12 @@ def main() -> int:
         max_frames=frames + 8,
         host_voxelize=host_vox,
         dispatch_block=block,
-        icp=ICPConfig(sample_points=icp_sample, tolerance=icp_tol,
-                      max_iterations=20, warm_start=warm),
-        lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=icp_tol),
+        icp=ICPConfig(sample_points=icp_sample, target_points=icp_target,
+                      tolerance=icp_tol, max_iterations=20, warm_start=warm),
+        lc=LoopClosureConfig(
+            verify_sample=4096, verify_tolerance=icp_tol,
+            yaw_seed=os.environ.get("BENCH_YAWSEED", "0") == "1",
+        ),
         knn_backend=knn_backend,
     )
     if noloop:

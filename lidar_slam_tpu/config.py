@@ -34,6 +34,12 @@ class ICPConfig:
     # a few thousand constraints, and the per-iteration 1-NN cost is linear
     # in source size. Error/fitness is then computed over the subsample.
     sample_points: int = 0
+    # 0 = search the full target cloud (reference behavior); >0 = strided
+    # target subsample for the correspondence search. Point-to-PLANE
+    # tolerates a coarser match set: the plane constraint absorbs the
+    # in-plane offset to the skipped neighbor, so halving the target costs
+    # ~zero ATE while the 1-NN pass (linear in target size) halves.
+    target_points: int = 0
     # Coarse-to-fine warm start: run this many fixed GN iterations on a
     # ``coarse_sample``-point source subset before the main loop (correspondence
     # cost is linear in source size; early iterations don't need density).

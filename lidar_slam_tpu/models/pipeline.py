@@ -416,15 +416,26 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
         # arrays — branches capturing the multi-GB cloud DB crash the TPU
         # compiler at KITTI-scale shapes.
         if in_graph_optimize:
+            # Gate on FRESH finds only (the reference optimizes when a loop
+            # was found this tick, slam_node.cpp:112-115) — NOT on a
+            # persisting pending flag: at full KITTI extents the f32 device
+            # LM cannot reach its convergence tolerance (see
+            # pose_graph.optimize_host), so pending would stay set and every
+            # cadence tick would burn a futile ~107 ms LM chunk (measured:
+            # ~11 ms/frame amortized, dwarfing the detect pass itself).
+            # Unconverged chunks keep pending_optimize set for finalize's
+            # f64 host rescue.
             poses, _, _, converged = jax.lax.cond(
-                state.pending_optimize,  # includes n_found > 0 (set above)
+                n_found > 0,
                 optimize_small,
                 lambda args: (*args, jnp.bool_(True)),
                 (state.poses, state.pg, state.n_poses),
             )
             state = state._replace(
                 poses=poses,
-                pending_optimize=state.pending_optimize & ~converged,
+                pending_optimize=jnp.where(
+                    n_found > 0, ~converged, state.pending_optimize
+                ),
             )
         return state, det
 

@@ -76,6 +76,12 @@ class _Carry(NamedTuple):
     prev_err: jnp.ndarray
     converged: jnp.ndarray
     hist: jnp.ndarray
+    # correspondences from the last executed iteration: on a CONVERGED exit
+    # T was frozen, so these equal the final pass exactly and the post-loop
+    # NN search (icp.hpp:235-252) can be skipped — ~1 of ~4 NN passes saved
+    cur: jnp.ndarray      # (S, 3)
+    matched: jnp.ndarray  # (S, 3)
+    nrm: jnp.ndarray      # (S, 3)
 
 
 def _plane_error(cur, matched, normals, w, denom):
@@ -108,11 +114,6 @@ def icp_point_to_plane(
     """
     if nn1_fn is None:
         nn1_fn = lambda s, t, m: nn1(s, t, m)
-    prepare = getattr(nn1_fn, "prepare", None)
-    if prepare is not None:
-        nn_query = prepare(tgt.points, tgt.mask)
-    else:
-        nn_query = lambda s: nn1_fn(s, tgt.points, tgt.mask)
     if init_transform is None:
         init_transform = se3.identity(src.points.dtype)
 
@@ -123,6 +124,24 @@ def icp_point_to_plane(
         j = jnp.arange(n_out)
         sel = jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
         return PointCloud(cloud.points[sel], cloud.mask[sel])
+
+    if 0 < config.target_points < tgt.points.shape[0]:
+        # Strided target subsample (see ICPConfig.target_points): the
+        # correspondence search runs against the reduced set; normals are
+        # gathered with the same stride so indices stay consistent.
+        cnt = tgt.count()
+        j = jnp.arange(config.target_points)
+        t_idx = jnp.where(
+            cnt > config.target_points, (j * cnt) // config.target_points, j
+        ).astype(jnp.int32)
+        tgt = PointCloud(tgt.points[t_idx], tgt.mask[t_idx])
+        tgt_normals = tgt_normals[t_idx]
+
+    prepare = getattr(nn1_fn, "prepare", None)
+    if prepare is not None:
+        nn_query = prepare(tgt.points, tgt.mask)
+    else:
+        nn_query = lambda s: nn1_fn(s, tgt.points, tgt.mask)
 
     # Displace invalid source rows to the far sentinel: their contributions
     # are weight-masked everywhere, but tile-extent-based backends (slab
@@ -176,22 +195,36 @@ def icp_point_to_plane(
         )
         delta = solve_point_to_plane(cur, matched, nrm, src.mask, config.solver_damping)
         T_new = jnp.where(conv, c.T, se3.compose(delta, c.T))
-        return _Carry(c.it + 1, T_new, err, conv, hist)
+        return _Carry(c.it + 1, T_new, err, conv, hist, cur, matched, nrm)
 
     start_conv = (
         jnp.bool_(False) if inactive is None else jnp.asarray(inactive, bool)
     )
+    zeros3 = jnp.zeros_like(src.points)
     init = _Carry(
         it=jnp.int32(0),
         T=jnp.asarray(init_transform, src.points.dtype),
         prev_err=jnp.asarray(jnp.inf, src.points.dtype),
         converged=start_conv,
         hist=jnp.zeros((max_it + 1,), src.points.dtype),
+        cur=zeros3,
+        matched=zeros3,
+        nrm=zeros3,
     )
     out = jax.lax.while_loop(cond, body, init)
 
-    # Final error with final correspondences (icp.hpp:235-252).
-    cur, matched, nrm = correspondences(out.T)
+    # Final error with final correspondences (icp.hpp:235-252). On a
+    # CONVERGED exit the last iteration froze T before exiting, so its
+    # correspondences ARE the final ones (bit-exact) — recompute only on
+    # budget exhaustion (T moved after the last search) or a zero-iteration
+    # start. lax.cond executes one branch: the common converged path skips
+    # a whole NN pass.
+    cur, matched, nrm = jax.lax.cond(
+        out.converged & (out.it > 0),
+        lambda _: (out.cur, out.matched, out.nrm),
+        lambda _: correspondences(out.T),
+        operand=None,
+    )
     final_err = _plane_error(cur, matched, nrm, w, denom)
     hist = out.hist.at[out.it].set(final_err)
 
