@@ -24,9 +24,10 @@ Environment knobs:
   BENCH_LC       (default 0)     loop-DB cloud capacity (0 = DS)
   BENCH_SAMPLE   (default 4096)  ICP source subsample (0 = all points)
   BENCH_TGT      (default 0)     ICP target subsample (0 = full cloud)
-  BENCH_TOL      (default 1e-4)  ICP |delta-error| tolerance (reference: 1e-6
-                                 in f64; 1e-4 converges in ~6 iterations at
-                                 f32 with slightly BETTER ATE)
+  BENCH_TOL      (default 3e-4)  ICP |delta-error| tolerance (reference: 1e-6
+                                 in f64; with the constant-velocity warm
+                                 start 3e-4 converges in ~2.6 iterations at
+                                 f32 with IDENTICAL ATE to 1e-4)
   BENCH_BLOCK    (default 10)    scans per device dispatch (lax.scan block)
   BENCH_NOLOOP   (default 0)     1 = disable the loop-closure cadence
                                  (odometry-only ablation for profiling)
@@ -56,13 +57,13 @@ def main() -> int:
     lc_pts = int(os.environ.get("BENCH_LC", 0))
     icp_sample = int(os.environ.get("BENCH_SAMPLE", 4096))
     icp_target = int(os.environ.get("BENCH_TGT", 0))
-    icp_tol = float(os.environ.get("BENCH_TOL", 1e-4))
+    icp_tol = float(os.environ.get("BENCH_TOL", 3e-4))
     block = int(os.environ.get("BENCH_BLOCK", 10))
     noloop = os.environ.get("BENCH_NOLOOP", "0") == "1"
     nwin = int(os.environ.get("BENCH_NWIN", 0))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     knn_backend = os.environ.get("BENCH_KNN", "auto")
-    runs = int(os.environ.get("BENCH_RUNS", 3))
+    runs = int(os.environ.get("BENCH_RUNS", 2))
 
     import jax
 
@@ -113,6 +114,9 @@ def main() -> int:
         cfg = cfg.replace(loop_check_every=10**9)
     if nwin:
         cfg = cfg.replace(normal_window=nwin)
+    nstride = int(os.environ.get("BENCH_NSTRIDE", 0))
+    if nstride:
+        cfg = cfg.replace(normal_stride=nstride, normal_method="radius")
     log(
         f"config: F={cfg.max_frames} ds={ds_pts} lc={cfg.lc_points} "
         f"sample={icp_sample} block={block} warm={warm} "

@@ -25,11 +25,16 @@ def stack_states(states):
 
 
 def make_batched_fns(config: SlamConfig, mesh: Optional[Mesh] = None,
-                     seq_axis: str = "seq"):
+                     seq_axis: str = "seq", optimize_midrun: bool = True):
     """vmapped (init, step, loop, optimize, finalize) over a leading batch axis.
 
     With ``mesh``, inputs/outputs are constrained to batch-axis sharding over
-    ``seq_axis``.
+    ``seq_axis``. ``optimize_midrun=False`` drops the in-graph optimize from
+    the detection tick entirely: under vmap ALL lanes pay for the LM chunk
+    whenever ANY lane found a loop, and mid-run optimization only shapes
+    intermediate poses — detection is pose-independent and finalize
+    optimizes to convergence anyway, so the aggregate-throughput win is free
+    of final-accuracy cost.
     """
     init = jax.vmap(pipe.make_init_fn(config))
     step = jax.vmap(pipe.make_step_fn(config))
@@ -69,6 +74,9 @@ def make_batched_fns(config: SlamConfig, mesh: Optional[Mesh] = None,
             # pass (or finalize) continues from the updated poses
             return new_poses, pending & ~conv
 
+        if not optimize_midrun:
+            return state, det  # pending accumulates for finalize
+
         poses, pending = jax.lax.cond(
             jnp.any(state.pending_optimize),
             do_opt,
@@ -103,17 +111,30 @@ def make_batched_fns(config: SlamConfig, mesh: Optional[Mesh] = None,
 class BatchedSlamEngine:
     """Run K sequences in lockstep as one batched XLA program."""
 
-    def __init__(self, config: SlamConfig, batch: int, mesh: Optional[Mesh] = None):
+    def __init__(self, config: SlamConfig, batch: int, mesh: Optional[Mesh] = None,
+                 optimize_midrun: bool = True):
         self.config = config
         self.batch = batch
         self.mesh = mesh
         (self._init, self._step, self._loop, self._optimize, self._finalize) = (
-            make_batched_fns(config, mesh)
+            make_batched_fns(config, mesh, optimize_midrun=optimize_midrun)
         )
+        self._block = max(config.dispatch_block, 0)
+        if self._block > 1:
+            if config.loop_check_every % self._block != 0:
+                raise ValueError(
+                    f"dispatch_block={self._block} must divide "
+                    f"loop_check_every={config.loop_check_every}"
+                )
+            inner = pipe.make_block_step_fn(config, self._block)
+            self._block_fn = jax.jit(
+                jax.vmap(inner, in_axes=(0, 0, 0, None)), donate_argnums=0
+            )
+        self._pending: list = []  # buffered (B, N, 3) numpy frames
         self.state = stack_states([pipe.init_state(config) for _ in range(batch)])
         self._frame = 0
 
-    def pad_scans(self, scans):
+    def pad_scans_np(self, scans):
         cap = self.config.max_raw_points
         pts = np.zeros((self.batch, cap, 3), np.float32)
         counts = np.zeros((self.batch,), np.int32)
@@ -121,25 +142,68 @@ class BatchedSlamEngine:
             n = min(len(s), cap)
             pts[b, :n] = s[:n]
             counts[b] = n
+        return pts, counts
+
+    def pad_scans(self, scans):
+        pts, counts = self.pad_scans_np(scans)
         return jnp.asarray(pts), jnp.asarray(counts)
+
+    def _dispatch_pending(self) -> None:
+        if not self._pending:
+            return
+        frame0 = self._pending_frame0
+        if len(self._pending) == self._block:
+            # (Nb, B, N, 3) -> (B, Nb, N, 3); ONE host->device put per block
+            raws = jnp.asarray(
+                np.stack([p[0] for p in self._pending], axis=1)
+            )
+            counts = jnp.asarray(
+                np.stack([p[1] for p in self._pending], axis=1)
+            )
+            self.state = self._block_fn(
+                self.state, raws, counts, jnp.int32(frame0)
+            )
+        else:
+            for k, (pts, counts) in enumerate(self._pending):
+                frames = jnp.full((self.batch,), frame0 + k, jnp.int32)
+                self.state = self._step(
+                    self.state, jnp.asarray(pts), jnp.asarray(counts), frames
+                )
+        self._pending.clear()
+
+    def flush(self) -> None:
+        if self._pending:
+            self._dispatch_pending()
 
     def push_scans(self, scans, sync_info: bool = False) -> Optional[int]:
         """One scan per sequence. Detection + gated optimization run fully on
         device (no host syncs). With ``sync_info=True`` the total number of
         loops accepted by this pass is fetched and returned (costly sync —
-        for tests/debugging only)."""
-        raw, counts = self.pad_scans(scans)
+        for tests/debugging only). ``dispatch_block > 1`` buffers frames and
+        runs one vmapped block dispatch (same RPC amortization as the single
+        engine)."""
         found = None
         if self._frame == 0:
+            raw, counts = self.pad_scans(scans)
             self.state = self._init(self.state, raw, counts)
         else:
-            frames = jnp.full((self.batch,), self._frame, jnp.int32)
-            self.state = self._step(self.state, raw, counts, frames)
+            if self._block > 1:
+                if not self._pending:
+                    self._pending_frame0 = self._frame
+                self._pending.append(self.pad_scans_np(scans))
+                if self._frame % self._block == 0:
+                    self._dispatch_pending()
+            else:
+                raw, counts = self.pad_scans(scans)
+                frames = jnp.full((self.batch,), self._frame, jnp.int32)
+                self.state = self._step(self.state, raw, counts, frames)
             cfg = self.config
             if (
-                self._frame % cfg.loop_check_every == 0
+                not self._pending
+                and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
+                frames = jnp.full((self.batch,), self._frame, jnp.int32)
                 self.state, det = self._loop(self.state, frames)
                 if sync_info:
                     found = int(jnp.sum(det.accepted.astype(jnp.int32)))
@@ -150,6 +214,7 @@ class BatchedSlamEngine:
         """Final batched optimize to convergence (host-chunked: at most
         ``inline_max_iterations`` LM iterations per dispatch, one (B,)-flag
         sync per chunk) + the vmapped occupancy rebuild."""
+        self.flush()
         cfg = self.config.pg
         chunks = max(cfg.max_iterations // max(cfg.inline_max_iterations, 1), 1)
         res = None
@@ -163,7 +228,7 @@ class BatchedSlamEngine:
             # per stalled sequence (see pose_graph.optimize_host)
             from ..models import pose_graph as pg
 
-            poses = np.asarray(self.state.poses)
+            poses = np.array(self.state.poses)  # mutable copy
             for b in np.where(pending)[0]:
                 st_b = jax.tree.map(lambda x: x[b], self.state.pg)
                 host = pg.optimize_host(
@@ -179,5 +244,6 @@ class BatchedSlamEngine:
         return res
 
     def trajectories(self) -> np.ndarray:
+        self.flush()
         n = int(jnp.max(self.state.n_poses))
         return np.asarray(self.state.poses[:, :n])

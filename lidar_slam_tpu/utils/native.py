@@ -155,7 +155,12 @@ def voxel_downsample_host(pts: np.ndarray, voxel: float,
             return out[:n]
     from .io import voxel_downsample_np
 
-    return voxel_downsample_np(pts, voxel)[:cap]
+    out = voxel_downsample_np(pts, voxel)
+    if len(out) <= cap:
+        return out
+    # over capacity: strided selection over the key-sorted voxels (a prefix
+    # crop would be a spatially-biased x-band — the C++ path strides too)
+    return out[(np.arange(cap) * len(out)) // cap]
 
 
 class FrameLoader:

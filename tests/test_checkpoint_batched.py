@@ -113,3 +113,21 @@ def test_ring_key_prefilter_equivalence(rng):
     pre, _ = sc_distances_ring_prefiltered(q, db, norms, k=4)
     assert int(jnp.argmin(pre)) == int(jnp.argmin(full)) == 7
     np.testing.assert_allclose(float(pre[7]), float(full[7]), atol=1e-6)
+
+
+def test_batched_block_dispatch_matches_single():
+    """Batched engine with dispatch_block>1 (vmapped lax.scan blocks, one
+    host->device put per block) matches the single engine bit-for-bit."""
+    scans, gt = _scans(9)
+    cfg = _cfg().replace(dispatch_block=2, loop_check_every=4)
+    single = SlamEngine(cfg)
+    for s in scans:
+        single.push_scan(s)
+    ref = single.trajectory()
+
+    batched = BatchedSlamEngine(cfg, batch=2)
+    for s in scans:
+        batched.push_scans([s, s])
+    trajs = batched.trajectories()
+    np.testing.assert_allclose(trajs[0], ref, atol=1e-4)
+    np.testing.assert_allclose(trajs[1], ref, atol=1e-4)
