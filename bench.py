@@ -116,7 +116,7 @@ def main() -> int:
         cfg = cfg.replace(normal_window=nwin)
     nstride = int(os.environ.get("BENCH_NSTRIDE", 0))
     if nstride:
-        cfg = cfg.replace(normal_stride=nstride, normal_method="radius")
+        cfg = cfg.replace(normal_stride=nstride)
     log(
         f"config: F={cfg.max_frames} ds={ds_pts} lc={cfg.lc_points} "
         f"sample={icp_sample} block={block} warm={warm} "

@@ -96,6 +96,7 @@ def _normals_fn(config: SlamConfig) -> Callable:
             k=config.normal_k_target,
             r_probe=(config.normal_probe_lo, config.normal_probe_hi),
             r_min=r, r_max=config.normal_r_max, window=w,
+            stride=config.normal_stride,
         )
     if config.normal_method == "radius":
         r = config.effective_normal_radius
@@ -318,20 +319,31 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
 
 
 def make_block_step_fn(config: SlamConfig, block: int,
-                       nn1_fn: Optional[Callable] = None):
+                       nn1_fn: Optional[Callable] = None,
+                       include_loop: bool = False):
     """Process ``block`` consecutive scans in ONE device dispatch.
 
     ``lax.scan`` over the per-scan step body: identical math and state
     evolution to ``block`` calls of :func:`make_step_fn`, but the fixed
-    per-dispatch overhead (~2.5-6 ms over a TPU tunnel) is paid once per
-    block instead of once per frame. The engine sizes blocks to the loop
-    cadence (slam_node.cpp:160) so detection still runs exactly at the
+    per-dispatch overhead (a blocking ~9 ms RPC over the TPU tunnel) is paid
+    once per block instead of once per frame. The engine sizes blocks to the
+    loop cadence (slam_node.cpp:160) so detection still runs exactly at the
     reference's every-10-frames boundary.
+
+    ``include_loop=True`` appends the loop-detection tick (detect + factor
+    insertion + gated optimize) for the block's LAST frame to the same
+    program. NOT used by the engine: nesting detect's lax.cond-gated
+    verification inside the big block program makes the TPU compiler
+    materialize copies of the captured DB buffers per dispatch (measured
+    4x slower at F=308, compile failure at F=1508) — the same pathology
+    that forced detect's gathered-slice design. The standalone loop_fn
+    dispatch costs one extra ~9 ms RPC per cadence period instead.
 
     Signature: ``block_fn(state, raw_blk (B, N, 3), counts (B,), frame0,
     raw_normals_blk=None) -> state`` where scan k is frame ``frame0 + k``.
     """
     body = _make_step_body(config, nn1_fn)
+    loop_body = _make_loop_body(config) if include_loop else None
 
     @functools.partial(jax.jit, donate_argnums=0)
     def block_fn(state: SlamState, raw_blk, counts, frame0,
@@ -352,18 +364,18 @@ def make_block_step_fn(config: SlamConfig, block: int,
             else (raw_blk, counts, ks, raw_normals_blk)
         )
         state, _ = jax.lax.scan(scan_body, state, xs)
+        if loop_body is not None:
+            state, _ = loop_body(state, frame0 + block - 1)
         return state
 
     return block_fn
 
 
-def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
-    """Loop detection + factor insertion (slam_node.cpp:159-167).
-
-    ``in_graph_optimize=False`` skips the lax.cond-gated optimization — use
-    for vmapped/batched execution, where cond lowers to select and would pay
-    for the optimizer on every detection pass; trigger optimization from the
-    host instead."""
+def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
+    """Un-jitted loop-tick body shared by :func:`make_loop_fn` (standalone
+    dispatch) and :func:`make_block_step_fn` (fused into the block program —
+    each dispatch is a blocking ~9 ms RPC on the tunneled runtime, so fusing
+    the cadence tick into the block halves the RPCs per 10 frames)."""
 
     def optimize_small(args):
         # Warm start from the engine's current estimates (which include any
@@ -382,8 +394,7 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
         new_poses = jnp.where((idx < n_poses)[:, None, None], res.poses, poses)
         return new_poses, pg_state, n_poses, res.converged
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def loop_fn(state: SlamState, frame):
+    def loop_body(state: SlamState, frame):
         # ``expect_query`` rejects stale queries when the current frame was
         # skipped for low point count (see lc.detect).
         det = lc.detect(
@@ -439,7 +450,19 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
             )
         return state, det
 
-    return loop_fn
+    return loop_body
+
+
+def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
+    """Loop detection + factor insertion (slam_node.cpp:159-167) as its own
+    dispatch.
+
+    ``in_graph_optimize=False`` skips the lax.cond-gated optimization — use
+    for vmapped/batched execution, where cond lowers to select and would pay
+    for the optimizer on every detection pass; trigger optimization from the
+    host instead."""
+    body = _make_loop_body(config, in_graph_optimize)
+    return functools.partial(jax.jit, donate_argnums=0)(body)
 
 
 def make_optimize_fn(config: SlamConfig):
@@ -552,6 +575,7 @@ class SlamEngine:
                     "detection stays on the reference cadence"
                 )
             self._block_fn = make_block_step_fn(config, self._block)
+        self._loop_done_frame = -1  # cadence tick already handled at this frame
         self._pending: list = []  # buffered (raw, count[, normals]) tuples
         self.state = init_state(config)
         self._frame = 0
@@ -634,6 +658,7 @@ class SlamEngine:
             cfg = self.config
             if (
                 not self._pending
+                and self._loop_done_frame != self._frame
                 and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):

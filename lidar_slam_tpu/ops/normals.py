@@ -299,7 +299,9 @@ def _radius_counts(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "window", "r_probe", "r_min", "r_max")
+    jax.jit,
+    static_argnames=("k", "chunk", "window", "r_probe", "r_min", "r_max",
+                     "stride"),
 )
 def estimate_normals_adaptive(
     pts: jnp.ndarray,
@@ -310,6 +312,7 @@ def estimate_normals_adaptive(
     r_max: float = 20.0,
     window: int = 0,
     chunk: int = 4096,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """Count-targeted per-point-radius moment normals (k-NN-ball emulation).
 
@@ -332,6 +335,20 @@ def estimate_normals_adaptive(
     Normals agree with true k-NN PCA to p90 < 1 degree on ring scans and the
     per-frame ICP delta error vs the f64 mirror drops 176 -> 11 mm.
     """
+    if stride > 1:
+        # normals for every stride-th (x-sorted) point, replicated to the
+        # skipped rows — adjacent sorted rows are voxel-scale neighbors and
+        # the ADAPTIVE radius field is smooth, so replication stays on the
+        # same local plane. The count probes still see the FULL cloud
+        # (neighborhoods are unchanged; only the query set shrinks).
+        N = pts.shape[0]
+        sub = estimate_normals_adaptive(
+            pts[::stride], mask[::stride], k=k, r_probe=r_probe,
+            r_min=r_min, r_max=r_max, window=window, chunk=chunk, stride=1,
+        )
+        n = jnp.repeat(sub, stride, axis=0)[:N]
+        up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], pts.dtype), n.shape)
+        return jnp.where(mask[:, None], n, up)
     pts_m = jnp.where(mask[:, None], pts, 1.0e6)
     r_lo, r_hi = float(r_probe[0]), float(r_probe[1])
     c_lo = jnp.maximum(_radius_counts(pts_m, r_lo, window, chunk), 2.0)
