@@ -575,7 +575,6 @@ class SlamEngine:
                     "detection stays on the reference cadence"
                 )
             self._block_fn = make_block_step_fn(config, self._block)
-        self._loop_done_frame = -1  # cadence tick already handled at this frame
         self._pending: list = []  # buffered (raw, count[, normals]) tuples
         self.state = init_state(config)
         self._frame = 0
@@ -658,7 +657,6 @@ class SlamEngine:
             cfg = self.config
             if (
                 not self._pending
-                and self._loop_done_frame != self._frame
                 and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
@@ -819,5 +817,9 @@ class SlamEngine:
     def load_checkpoint(self, path: str) -> None:
         from ..utils.checkpoint import load_state
 
+        # Scans buffered for block dispatch belong to the PRE-load run; if
+        # they were dispatched after the restore they would land on the
+        # restored state with wrong frame indices.
+        self._pending.clear()
         self.state, extra = load_state(path, self.state)
         self._frame = int(extra.get("frame", 0))

@@ -127,3 +127,197 @@ def nn1_pallas(
     )(src8, tgt8)
 
     return argm[:S, 0], jnp.maximum(minv[:S, 0], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Slab-windowed search: the Pallas version of ops/slab_nn.py.
+#
+# Voxel-downsampled clouds are x-major sorted (ops/voxel.py output order; the
+# native host voxelizer sorts identically), so every target within ``margin``
+# of a tile of TS consecutive source points lies in ONE CONTIGUOUS RANGE of
+# the target array — the TPU answer to the KD-tree's O(log n) pruning
+# (kdtree.hpp:112-142). The pure-XLA slab backend proved the windowing sound
+# but lost its gains to lax.scan serialization + per-step dynamic-slice DMA;
+# here the WHOLE target rides in VMEM (32k x 8 lanes f32 = 1 MB) and each
+# grid step slices its window from VMEM for free:
+#
+#     cost = S * W  distance work   instead of   S * T   (W = T/8 at 32k)
+#
+# The fused variant additionally returns the MATCHED target point and normal
+# per source row (the ICP iteration's gather, icp.hpp:185-196): the argmin
+# one-hot matrix times the in-VMEM window rides the MXU, so the per-iteration
+# HBM round-trip (idx out -> XLA gather from a 32k cloud) disappears. The
+# one-hot selection must be f32-exact (coordinates at 200 m in bf16 would
+# round by ~1 m) — a 3-way bf16 split via lax.reduce_precision reconstructs
+# f32 exactly (same trick as ops/normals._bf16_split3_matmul).
+# ---------------------------------------------------------------------------
+
+_QUANT = 128  # window starts rounded down to lane-aligned multiples
+
+
+def _slab_starts(
+    src_p: jnp.ndarray, tgt_x_mono: jnp.ndarray, ts: int, window: int,
+    margin: float, padded_T: int,
+) -> jnp.ndarray:
+    """Per-source-tile window starts (int32, multiples of _QUANT).
+
+    Clipped to the PADDED target width so start + window never overruns;
+    ``padded_T`` and ``window`` are both _QUANT multiples, so the clip
+    preserves lane alignment (pad columns sit at the sentinel and never win
+    the argmin)."""
+    from .grid_nn import _searchsorted_left
+
+    tiles_x = src_p[:, 0].reshape(-1, ts)
+    tile_min_x = jnp.min(tiles_x, axis=1) - margin
+    starts = _searchsorted_left(tgt_x_mono, tile_min_x).astype(jnp.int32)
+    starts = (starts // _QUANT) * _QUANT
+    return jnp.clip(starts, 0, max(padded_T - window, 0))
+
+
+def _match_slab_kernel(starts_ref, src_ref, tgt_ref, qn_ref, minv_ref,
+                       argm_ref, *, window):
+    i = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[i], _QUANT)
+    win = tgt_ref[:, pl.ds(start, window)]                  # (8, W)
+    dx = src_ref[:, 0:1] - win[0:1, :]
+    dy = src_ref[:, 1:2] - win[1:2, :]
+    dz = src_ref[:, 2:3] - win[2:3, :]
+    d = dx * dx + dy * dy + dz * dz                         # (TS, W)
+    minv_ref[:] = jnp.min(d, axis=1, keepdims=True)
+    am = jnp.argmin(d, axis=1).astype(jnp.int32)            # (TS,)
+    argm_ref[:] = am[:, None] + start
+
+    # Fused gather: one-hot(argmin) @ window^T on the MXU, f32-exact via the
+    # 3-way bf16 split (the one-hot itself is exactly representable in bf16).
+    # reduce_precision has no Pallas TPU lowering; truncate the mantissa by
+    # bit-masking instead (round-to-zero — fine for a split, the residual
+    # carries the rest and the three terms sum back to f32 exactly).
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    onehot = (cols == am[:, None]).astype(jnp.bfloat16)     # (TS, W)
+
+    def trunc_bf16(x):
+        bits = pltpu.bitcast(x, jnp.uint32) & jnp.uint32(0xFFFF0000)
+        return pltpu.bitcast(bits, jnp.float32)
+
+    w_hi = trunc_bf16(win)
+    r1 = win - w_hi
+    w_mid = trunc_bf16(r1)
+    w_lo = r1 - w_mid
+    dims = (((1,), (1,)), ((), ()))  # contract W against W
+    qn = (
+        jax.lax.dot_general(onehot, w_hi.astype(jnp.bfloat16), dims,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(onehot, w_mid.astype(jnp.bfloat16), dims,
+                              preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(onehot, w_lo.astype(jnp.bfloat16), dims,
+                              preferred_element_type=jnp.float32)
+    )
+    qn_ref[:] = qn                                          # (TS, 8)
+
+
+def _match_slab_call(src, tgt8, starts, ts: int, window: int,
+                     interpret: bool = False):
+    Sp = src.shape[0]
+    Tp = tgt8.shape[1]
+    src8 = jnp.concatenate([src, jnp.zeros((Sp, 5), src.dtype)], axis=1)
+    qn, minv, argm = pl.pallas_call(
+        functools.partial(_match_slab_kernel, window=window),
+        grid=(Sp // ts,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ts, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ts, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Sp, 8), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, src8, tgt8)
+    return qn, minv, argm
+
+
+def _pack_tgt8(
+    tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
+    tgt_normals: jnp.ndarray | None, tt: int,
+) -> jnp.ndarray:
+    """(8, Tp) transposed target: lanes [x y z | nx ny nz | 0 0], masked rows
+    at the sentinel, padded to a ``tt`` multiple."""
+    tgt_m = mask_points(tgt, tgt_mask)
+    T = tgt.shape[0]
+    if tgt_normals is None:
+        feats = jnp.concatenate([tgt_m, jnp.zeros((T, 5), tgt.dtype)], axis=1)
+    else:
+        feats = jnp.concatenate(
+            [tgt_m, tgt_normals, jnp.zeros((T, 2), tgt.dtype)], axis=1
+        )
+    feats = _pad_rows(feats, tt, SENTINEL)
+    return feats.T
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "window", "interpret"))
+def nn1_slab_pallas(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    ts: int = 256,
+    window: int = 4096,
+    margin: float = 3.0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab-windowed 1-NN; same contract as ops.slab_nn.nn1_slab.
+
+    Exact whenever the true NN is within ``margin`` of the query in x AND the
+    window covers the tile's x-band (see ops/slab_nn.py); misses degrade to a
+    farther correspondence, which point-to-plane ICP tolerates.
+    """
+    S = src.shape[0]
+    T = tgt.shape[0]
+    ts = min(ts, max(8, S))
+    src_p = _pad_rows(src, ts, SENTINEL)
+    tgt8 = _pack_tgt8(tgt, tgt_mask, None, _QUANT)
+    Tp = tgt8.shape[1]
+    window = min(window, Tp)
+    x_mono = jax.lax.cummax(tgt8[0, :T])
+    starts = _slab_starts(src_p, x_mono, ts, window, margin, Tp)
+    _, minv, argm = _match_slab_call(src_p, tgt8, starts, ts, window, interpret)
+    return (
+        jnp.minimum(argm[:S, 0], T - 1),
+        jnp.maximum(minv[:S, 0], 0.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "window", "interpret"))
+def match_slab_pallas(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    tgt_normals: jnp.ndarray,
+    ts: int = 256,
+    window: int = 4096,
+    margin: float = 3.0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused slab 1-NN + correspondence gather for the ICP iteration.
+
+    Returns ``(matched (S, 3), normals (S, 3), dist2 (S,))`` — the matched
+    target points and their normals, selected inside the kernel (no HBM
+    gather). Equivalent to ``idx, d2 = nn1(...); tgt[idx], normals[idx], d2``.
+    """
+    S = src.shape[0]
+    T = tgt.shape[0]
+    ts = min(ts, max(8, S))
+    src_p = _pad_rows(src, ts, SENTINEL)
+    tgt8 = _pack_tgt8(tgt, tgt_mask, tgt_normals, _QUANT)
+    Tp = tgt8.shape[1]
+    window = min(window, Tp)
+    x_mono = jax.lax.cummax(tgt8[0, :T])
+    starts = _slab_starts(src_p, x_mono, ts, window, margin, Tp)
+    qn, minv, _ = _match_slab_call(src_p, tgt8, starts, ts, window, interpret)
+    return qn[:S, 0:3], qn[:S, 3:6], jnp.maximum(minv[:S, 0], 0.0)

@@ -339,11 +339,16 @@ def estimate_normals_adaptive(
         # normals for every stride-th (x-sorted) point, replicated to the
         # skipped rows — adjacent sorted rows are voxel-scale neighbors and
         # the ADAPTIVE radius field is smooth, so replication stays on the
-        # same local plane. The count probes still see the FULL cloud
-        # (neighborhoods are unchanged; only the query set shrinks).
+        # same local plane. The count probes run on the STRIDED cloud (a
+        # uniform 1/stride thinning), so the neighbor-count target is scaled
+        # to k/stride: the radius holding k/stride thinned neighbors is the
+        # radius holding ~k full-cloud neighbors — the reference-equivalent
+        # neighborhood size (dim estimation is count-RATIO based and
+        # unaffected by uniform thinning).
         N = pts.shape[0]
         sub = estimate_normals_adaptive(
-            pts[::stride], mask[::stride], k=k, r_probe=r_probe,
+            pts[::stride], mask[::stride], k=max(k // stride, 4),
+            r_probe=r_probe,
             r_min=r_min, r_max=r_max, window=window, chunk=chunk, stride=1,
         )
         n = jnp.repeat(sub, stride, axis=0)[:N]

@@ -218,10 +218,22 @@ class BatchedSlamEngine:
         cfg = self.config.pg
         chunks = max(cfg.max_iterations // max(cfg.inline_max_iterations, 1), 1)
         res = None
+        prev_err = None
         for _ in range(chunks):
             self.state, res = self._optimize(self.state)
-            if not bool(jnp.any(self.state.pending_optimize)):
+            pending = np.asarray(self.state.pending_optimize)
+            if not pending.any():
                 break
+            # f32 cost-stall early exit (mirrors pose_graph.optimize_chunked):
+            # when no still-pending lane improved its cost by >=1% over a
+            # whole chunk, f32 has hit its dynamic-range wall — stop burning
+            # device chunks and go straight to the f64 host rescue.
+            errs = np.asarray(res.final_error)
+            if prev_err is not None and np.all(
+                errs[pending] > prev_err[pending] * 0.99
+            ):
+                break
+            prev_err = errs
         pending = np.asarray(self.state.pending_optimize)
         if pending.any():
             # f32 device LM stalled for some sequences; f64 host rescue

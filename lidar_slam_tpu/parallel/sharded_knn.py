@@ -21,8 +21,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import functools
+
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+# jax.shard_map is the stable API (>= 0.8); the jax.experimental.shard_map
+# module is deprecated and slated for removal. check_vma=False replaces the
+# old check_rep=False (our outputs are device-identical by construction, but
+# the all_gather+argmin combine is opaque to the replication checker).
+shard_map = functools.partial(jax.shard_map, check_vma=False)
 
 from ..ops.knn import nn1
 
@@ -50,13 +57,11 @@ def nn1_target_sharded(
         pick = lambda a: jnp.take_along_axis(a, best[None, :], axis=0)[0]
         return pick(idx_all), pick(d2_all)
 
-    specs = {a: P() for a in mesh.axis_names}
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     return fn(src, tgt, tgt_mask)
 
@@ -81,7 +86,6 @@ def nn1_source_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
     )
     return fn(src, tgt, tgt_mask)
 

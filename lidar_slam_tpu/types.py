@@ -59,7 +59,7 @@ class ICPResult(NamedTuple):
     """Registration result (mirrors reference types.hpp:155-164).
 
     ``error_history`` is a fixed ``(max_iterations + 1,)`` array; entries at
-    index >= ``num_iterations + 1`` are padding (value repeats final error).
+    index >= ``num_iterations + 1`` are zero padding.
     ``converged`` is False when the iteration budget was exhausted without an
     early break — matching the reference's quirk (icp.hpp:210-217).
     """
