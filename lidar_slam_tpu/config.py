@@ -155,7 +155,22 @@ class OccupancyGridConfig:
     height_max: float = 2.0
     max_range: float = 40.0
     min_range: float = 0.5             # hardcoded r < 0.5 skip (slam_node.cpp:216)
-    grid_dim: int = 4096               # fixed world grid (cells), centered at origin
+    # Fixed world grid (cells), centered at (origin_x, origin_y). The
+    # reference's cell store is an UNBOUNDED hash set (slam_node.hpp:45-59);
+    # a dense array must bound it — 8192 x 0.2 m covers +-819.2 m, beyond
+    # KITTI seq 00's extents. Out-of-bounds points are COUNTED
+    # (SlamState.occ_dropped / metrics()['occ_dropped']), never silently
+    # dropped; shift origin_* or raise grid_dim if the counter is nonzero.
+    grid_dim: int = 8192
+    origin_x: float = 0.0
+    origin_y: float = 0.0
+
+    @property
+    def patch_dim(self) -> int:
+        """Per-scan update patch (cells): the sensor-centered square that
+        covers max_range, rounded to a lane multiple (ops/occupancy.py)."""
+        need = int(2.0 * self.max_range / self.resolution) + 16
+        return min(self.grid_dim, -(-need // 128) * 128)
 
 
 @dataclass(frozen=True)
@@ -187,9 +202,12 @@ class SlamConfig:
     grid: OccupancyGridConfig = OccupancyGridConfig()
 
     # 'auto' (= pallas on TPU, xla elsewhere; both exact brute force),
-    # or the opt-in pruned searches 'slab' / 'grid' — see
+    # or the opt-in pruned searches 'slab' / 'grid' / 'slab_pallas' — see
     # models.pipeline._resolve_nn1 for the accuracy trade-offs.
     knn_backend: str = "auto"
+    # 'slab_pallas' contiguous-window width (target points considered per
+    # source tile); must be a multiple of 128.
+    slab_window: int = 4096
 
     # >1: the engine dispatches this many scans per device call (lax.scan
     # over the step body) — the fixed per-dispatch cost (~2.5-6 ms over a

@@ -65,6 +65,7 @@ class SlamState(NamedTuple):
     #   (constant-velocity ICP seed when config.icp.warm_start)
     db: lc.KeyframeDB             # loop-closure DB + per-frame cloud storage
     grid: jnp.ndarray             # (D, D) uint8 occupancy
+    occ_dropped: jnp.ndarray      # () int32 — in-range points outside the grid
     loop_count: jnp.ndarray       # () int32
     pending_optimize: jnp.ndarray # () bool — loop accepted since last optimize
     # per-frame metrics (the reference logs these, slam_node.cpp:169-174)
@@ -156,6 +157,12 @@ def _resolve_nn1(config: SlamConfig) -> Optional[Callable]:
         from ..ops.slab_nn import nn1_slab
 
         return lambda s, t, m: nn1_slab(s, t, m)
+    if backend == "slab_pallas":
+        from ..ops.knn_pallas import make_slab_pallas_backend, pallas_supported
+
+        return make_slab_pallas_backend(
+            window=config.slab_window, interpret=not pallas_supported()
+        )
     if backend == "grid":
         from ..ops.grid_nn import make_grid_backend
 
@@ -184,6 +191,7 @@ def init_state(config: SlamConfig) -> SlamState:
         prev_delta=jnp.eye(4, dtype=jnp.float32),
         db=lc.init_db(F, config.lc_points, config.sc),
         grid=empty_grid(config.grid),
+        occ_dropped=jnp.int32(0),
         loop_count=jnp.int32(0),
         pending_optimize=jnp.bool_(False),
         icp_error=jnp.zeros((F,), jnp.float32),
@@ -272,7 +280,7 @@ def _make_step_body(config: SlamConfig, nn1_fn: Optional[Callable] = None):
         )
 
         world = se3.apply(new_pose, curr.points)
-        grid = update_occupancy(
+        grid, occ_drop = update_occupancy(
             state.grid, world, curr.mask & ok, se3.trans(new_pose)[:2], config.grid
         )
 
@@ -300,6 +308,7 @@ def _make_step_body(config: SlamConfig, nn1_fn: Optional[Callable] = None):
             prev_delta=delta,
             db=db,
             grid=grid,
+            occ_dropped=state.occ_dropped + occ_drop,
             icp_error=state.icp_error.at[frame].set(fitness),
             icp_iters=state.icp_iters.at[frame].set(res.num_iterations),
             icp_converged=state.icp_converged.at[frame].set(res.converged),
@@ -495,46 +504,25 @@ def make_finalize_fn(config: SlamConfig):
     engine drives it host-chunked first (SlamEngine.finalize) so no single
     dispatch runs unbounded LM x CG at full scale."""
 
-    BLOCK = 16  # frames per rebuild scatter (one big scatter beats F serial ones)
-
     @functools.partial(jax.jit, donate_argnums=0)
     def finalize_fn(state: SlamState):
         F = state.poses.shape[0]
-        n_blocks = (F + BLOCK - 1) // BLOCK
 
-        def body(b, grid):
-            f0 = b * BLOCK
-            fs = f0 + jnp.arange(BLOCK)
-            poses_b = jax.lax.dynamic_slice_in_dim(state.poses, f0, BLOCK)
-            clouds_b = jax.lax.dynamic_slice_in_dim(state.db.clouds, f0, BLOCK)
-            masks_b = jax.lax.dynamic_slice_in_dim(state.db.cloud_mask, f0, BLOCK)
-            world = se3.apply(poses_b, clouds_b).reshape(-1, 3)
-            m = (masks_b & (fs < state.n_poses)[:, None]).reshape(-1)
-            # sensor position varies per frame; expand to per-point
-            sensor = jnp.repeat(
-                se3.trans(poses_b)[:, :2], clouds_b.shape[1], axis=0
+        def body(f, carry):
+            grid, dropped = carry
+            pose = state.poses[f]
+            cloud = state.db.clouds[f]
+            m = state.db.cloud_mask[f] & (f < state.n_poses)
+            world = se3.apply(pose, cloud)
+            grid, d = update_occupancy(
+                grid, world, m, se3.trans(pose)[:2], config.grid
             )
-            # update_occupancy takes one sensor; inline the per-point filter
-            x, y, z = world[:, 0], world[:, 1], world[:, 2]
-            dx = x - sensor[:, 0]
-            dy = y - sensor[:, 1]
-            r = jnp.sqrt(dx * dx + dy * dy)
-            gc = config.grid
-            keep = (
-                m
-                & (z >= gc.height_min) & (z <= gc.height_max)
-                & (r <= gc.max_range) & (r >= gc.min_range)
-            )
-            D = gc.grid_dim
-            cx = jnp.floor(x / gc.resolution).astype(jnp.int32) + D // 2
-            cy = jnp.floor(y / gc.resolution).astype(jnp.int32) + D // 2
-            keep = keep & (cx >= 0) & (cx < D) & (cy >= 0) & (cy < D)
-            cx = jnp.where(keep, cx, 0)
-            cy = jnp.where(keep, cy, 0)
-            return grid.at[cx, cy].max(keep.astype(jnp.uint8))
+            return grid, dropped + d
 
-        grid = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros_like(state.grid))
-        return state._replace(grid=grid)
+        grid, dropped = jax.lax.fori_loop(
+            0, F, body, (jnp.zeros_like(state.grid), jnp.int32(0))
+        )
+        return state._replace(grid=grid, occ_dropped=dropped)
 
     return finalize_fn
 
@@ -755,6 +743,10 @@ class SlamEngine:
             "loop_count": int(self.state.loop_count),
             # accepted loops dropped because max_loop_factors was exhausted
             "loops_dropped": int(self.state.pg.n_loops_dropped),
+            # in-range points whose cell fell outside the occupancy grid —
+            # nonzero means the trajectory outgrew grid_dim (shift origin_*
+            # or raise grid_dim; the reference's hash set is unbounded)
+            "occ_dropped": int(self.state.occ_dropped),
         }
 
     def global_map(self, max_points_per_frame: Optional[int] = None) -> np.ndarray:

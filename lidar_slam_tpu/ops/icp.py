@@ -107,6 +107,13 @@ def icp_point_to_plane(
     it is invoked ONCE here (the reference rebuilds its KD-tree on every ICP
     call, icp.hpp:166) and the returned closure queries it each iteration.
 
+    A FUSED backend may instead carry
+    ``prepare_match(tgt_pts, tgt_mask, tgt_normals) -> (cur -> (matched,
+    normals, dist2))`` returning the matched target points and normals
+    directly (selected inside the kernel) — this skips the per-iteration
+    HBM gather of ``tgt[idx]`` / ``normals[idx]`` entirely
+    (ops/knn_pallas.match_slab_pallas).
+
     ``inactive``: traced bool — when True the iteration loop is skipped (the
     while_loop starts converged) and only the final correspondence pass runs.
     Cheap runtime gating without lax.cond (whose branches capturing multi-GB
@@ -137,11 +144,24 @@ def icp_point_to_plane(
         tgt = PointCloud(tgt.points[t_idx], tgt.mask[t_idx])
         tgt_normals = tgt_normals[t_idx]
 
-    prepare = getattr(nn1_fn, "prepare", None)
-    if prepare is not None:
-        nn_query = prepare(tgt.points, tgt.mask)
+    prepare_match = getattr(nn1_fn, "prepare_match", None)
+    if prepare_match is not None:
+        match_q = prepare_match(tgt.points, tgt.mask, tgt_normals)
+
+        def match_query(cur):
+            m, n, _ = match_q(cur)
+            return m, n
+
     else:
-        nn_query = lambda s: nn1_fn(s, tgt.points, tgt.mask)
+        prepare = getattr(nn1_fn, "prepare", None)
+        if prepare is not None:
+            nn_query = prepare(tgt.points, tgt.mask)
+        else:
+            nn_query = lambda s: nn1_fn(s, tgt.points, tgt.mask)
+
+        def match_query(cur):
+            idx, _ = nn_query(cur)
+            return tgt.points[idx], tgt_normals[idx]
 
     # Displace invalid source rows to the far sentinel: their contributions
     # are weight-masked everywhere, but tile-extent-based backends (slab
@@ -161,10 +181,9 @@ def icp_point_to_plane(
 
         def coarse_body(i, T):
             cur = se3.apply(T, csrc.points)
-            idx, _ = nn_query(cur)
+            matched, nrm = match_query(cur)
             delta = solve_point_to_plane(
-                cur, tgt.points[idx], tgt_normals[idx], csrc.mask,
-                config.solver_damping,
+                cur, matched, nrm, csrc.mask, config.solver_damping,
             )
             return se3.compose(delta, T)
 
@@ -180,8 +199,8 @@ def icp_point_to_plane(
 
     def correspondences(T):
         cur = se3.apply(T, src.points)
-        idx, _ = nn_query(cur)
-        return cur, tgt.points[idx], tgt_normals[idx]
+        matched, nrm = match_query(cur)
+        return cur, matched, nrm
 
     def cond(c: _Carry):
         return jnp.logical_and(c.it < max_it, jnp.logical_not(c.converged))

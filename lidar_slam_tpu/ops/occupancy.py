@@ -2,8 +2,20 @@
 
 Replaces the reference's unbounded host hash-set of occupied cells
 (slam_node.hpp:45-59, slam_node.cpp:211-229) with a fixed dense uint8 grid
-centered at the world origin: a masked scatter marks cells, so per-frame
-updates are one fused device op instead of a host loop.
+centered at a configurable world origin. Out-of-bounds points are COUNTED
+and returned (the hash set never drops; a dense array must — the counter
+makes the truncation visible instead of silent).
+
+The per-scan update is scatter-free: XLA's TPU scatter serializes
+(~60 ns/element — ~2 ms for a 32k scan), so cells are marked by a one-hot
+MATMUL instead. All in-range points land in a sensor-centered P x P patch
+(P covers 2 * max_range); per-cell hit counts are
+
+    count = onehot_x^T  @ onehot_y        # (P, N) @ (N, P) on the MXU
+
+with bf16 one-hots (exactly representable) and f32 accumulation, and the
+patch is OR-blitted into the big grid with one dynamic read-modify-write.
+~0.1 ms vs ~2 ms for the scatter at 32k points.
 
 Filter semantics match slam_node.cpp:211-221: keep world points with
 z in [height_min, height_max] and horizontal distance to the sensor in
@@ -31,9 +43,15 @@ def update_occupancy(
     mask: jnp.ndarray,
     sensor_xy: jnp.ndarray,
     config: OccupancyGridConfig = OccupancyGridConfig(),
-) -> jnp.ndarray:
-    """Mark cells hit by one world-frame scan (slam_node.cpp:211-221)."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mark cells hit by one world-frame scan (slam_node.cpp:211-221).
+
+    Returns ``(grid, n_dropped)`` — ``n_dropped`` counts in-range points
+    whose cell lies outside the grid (or outside the clipped update patch
+    at the grid edge); accumulate it so truncation is never silent."""
     D = config.grid_dim
+    P = config.patch_dim
+    res = config.resolution
     x, y, z = world_pts[:, 0], world_pts[:, 1], world_pts[:, 2]
     dx, dy = x - sensor_xy[0], y - sensor_xy[1]
     r = jnp.sqrt(dx * dx + dy * dy)
@@ -44,15 +62,32 @@ def update_occupancy(
         & (r <= config.max_range)
         & (r >= config.min_range)
     )
-    cx = jnp.floor(x / config.resolution).astype(jnp.int32) + D // 2
-    cy = jnp.floor(y / config.resolution).astype(jnp.int32) + D // 2
-    in_grid = (cx >= 0) & (cx < D) & (cy >= 0) & (cy < D)
-    keep = keep & in_grid
-    # invalid -> write the (0,0)-corner with value 0 (no-op via max with 0)
-    cx = jnp.where(keep, cx, 0)
-    cy = jnp.where(keep, cy, 0)
-    val = keep.astype(jnp.uint8)
-    return grid.at[cx, cy].max(val)
+    cx = jnp.floor((x - config.origin_x) / res).astype(jnp.int32) + D // 2
+    cy = jnp.floor((y - config.origin_y) / res).astype(jnp.int32) + D // 2
+
+    # sensor-centered patch, clipped to the grid
+    sx = jnp.floor((sensor_xy[0] - config.origin_x) / res).astype(jnp.int32) + D // 2
+    sy = jnp.floor((sensor_xy[1] - config.origin_y) / res).astype(jnp.int32) + D // 2
+    px0 = jnp.clip(sx - P // 2, 0, D - P)
+    py0 = jnp.clip(sy - P // 2, 0, D - P)
+    lx = cx - px0
+    ly = cy - py0
+    in_patch = (lx >= 0) & (lx < P) & (ly >= 0) & (ly < P)
+    n_dropped = jnp.sum(keep & ~in_patch).astype(jnp.int32)
+    keep = keep & in_patch
+    lx = jnp.where(keep, lx, -1)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ohx = (lx[:, None] == lanes).astype(jnp.bfloat16)      # (N, P), 0 if dropped
+    ohy = (ly[:, None] == lanes).astype(jnp.bfloat16)      # (N, P)
+    count = jax.lax.dot_general(
+        ohx, ohy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # (P, P)
+    patch = (count > 0).astype(jnp.uint8)
+    region = jax.lax.dynamic_slice(grid, (px0, py0), (P, P))
+    region = jnp.maximum(region, patch)
+    return jax.lax.dynamic_update_slice(grid, region, (px0, py0)), n_dropped
 
 
 def grid_to_message(grid, config: OccupancyGridConfig):
@@ -85,7 +120,7 @@ def grid_to_message(grid, config: OccupancyGridConfig):
         "resolution": config.resolution,
         "width": data.shape[0],
         "height": data.shape[1],
-        "origin_x": (minx - D // 2) * config.resolution,
-        "origin_y": (miny - D // 2) * config.resolution,
+        "origin_x": (minx - D // 2) * config.resolution + config.origin_x,
+        "origin_y": (miny - D // 2) * config.resolution + config.origin_y,
         "data": data,
     }

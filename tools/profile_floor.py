@@ -123,7 +123,7 @@ def main() -> int:
     def only_occ(st, i):
         curr = PointCloud(scan_stack[i % 4], jnp.ones((DS,), bool))
         world = se3.apply(st.poses[i], curr.points)
-        grid = update_occupancy(
+        grid, _ = update_occupancy(
             st.grid, world, curr.mask, se3.trans(st.poses[i])[:2], cfg.grid
         )
         return st._replace(grid=grid), grid[0, 0]
