@@ -27,6 +27,7 @@ def main() -> int:
     ap.add_argument("--sample", type=int, default=4096)
     ap.add_argument("--lc", type=int, default=0)
     ap.add_argument("--block", type=int, default=10)
+    ap.add_argument("--knn", default="auto")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +58,7 @@ def main() -> int:
         icp=ICPConfig(sample_points=args.sample, tolerance=1e-4,
                       max_iterations=20, warm_start=True),
         lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=1e-4),
+        knn_backend=args.knn,
     )
     print(f"config: F={args.fcap} ds={args.ds} sample={args.sample} "
           f"lc={cfg.lc_points} block={args.block}")
@@ -107,9 +109,9 @@ def main() -> int:
             nacc = int(np.asarray(det.accepted).sum())
             ncand = int(np.isfinite(np.asarray(det.sc_distance)).sum())
             dt = time.perf_counter() - t0
-            if not compile_done and counts["detect_none"] + counts[
-                "detect_cand"] + counts["detect_hit"] == 0:
-                label = "detect_compile"
+            if counts["detect_none"] + counts["detect_cand"] + counts[
+                "detect_hit"] + counts["detect_compile"] == 0:
+                label = "detect_compile"  # first call pays the trace+compile
             elif nacc > 0:
                 label = "detect_hit"       # verify + in-graph optimize ran
             elif ncand > 0:
