@@ -127,7 +127,14 @@ class PoseGraphConfig:
     # one dispatch and the tunneled TPU runtime kills the worker as hung;
     # unconverged chunks set pending_optimize so the next cadence tick (or a
     # host-driven optimize_chunked) continues from the current poses.
-    inline_max_iterations: int = 10
+    # Default 3: each Woodbury LM iteration costs ~24 ms at capacity
+    # (the 6Lx6L Cholesky dominates), so every-find in-graph optimization at
+    # 10 iterations was ~30% of full-run wall time; 3 keeps the reference's
+    # optimize-on-every-find semantics (slam_node.cpp:112-115) at ~1/3 the
+    # cost with IDENTICAL final ATE (the finalize-time f64 polish dominates
+    # accuracy at any inline setting — measured 1,500-frame sweep, ATE
+    # 2.161 m at inline 0/1/3/10).
+    inline_max_iterations: int = 3
     # Inner linear solver per LM step (relative_param only):
     # 'woodbury' (default) = EXACT damped-GN solve. J^T J + lam I is
     #   diagonal + rank-6L in relative coordinates (prior/odometry rows are

@@ -380,6 +380,44 @@ def make_block_step_fn(config: SlamConfig, block: int,
     return block_fn
 
 
+def make_resident_block_fn(config: SlamConfig, block: int,
+                           nn1_fn: Optional[Callable] = None):
+    """Process ``block`` consecutive scans sliced from a DEVICE-RESIDENT scan
+    store in one dispatch — the only per-dispatch operands are scalars.
+
+    Why this exists: on tunneled TPU runtimes any device->host fetch drops
+    the host->device transfer path from ~1.2 GB/s to ~40 MB/s for the rest
+    of the process (measured on v5e/axon; the degradation is sticky and
+    size-independent). A bench/eval process fetches results between runs, so
+    per-block scan uploads (~4 MB) would cost 100+ ms each afterwards —
+    25x the block's compute. Uploading the prepared dataset ONCE (before any
+    fetch, at healthy bandwidth) and slicing it on device makes the
+    steady-state loop transfer-free.
+
+    Signature: ``fn(state, scans (T, N, 3), counts (T,), frame0) -> state``
+    processing frames ``frame0 .. frame0+block-1`` = the same-named rows of
+    ``scans``. ``scans``/``counts`` are NOT donated — pass the same device
+    arrays every call.
+    """
+    body = _make_step_body(config, nn1_fn)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def resident_block_fn(state: SlamState, scans, counts, frame0) -> SlamState:
+        frame0 = frame0.astype(jnp.int32)
+        raw_blk = jax.lax.dynamic_slice_in_dim(scans, frame0, block)
+        cnt_blk = jax.lax.dynamic_slice_in_dim(counts, frame0, block)
+
+        def scan_body(st, inp):
+            pts, cnt, k = inp
+            return body(st, pts, cnt, frame0 + k), ()
+
+        ks = jnp.arange(block, dtype=jnp.int32)
+        state, _ = jax.lax.scan(scan_body, state, (raw_blk, cnt_blk, ks))
+        return state
+
+    return resident_block_fn
+
+
 def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
     """Un-jitted loop-tick body shared by :func:`make_loop_fn` (standalone
     dispatch) and :func:`make_block_step_fn` (fused into the block program —
@@ -474,6 +512,37 @@ def make_loop_fn(config: SlamConfig, in_graph_optimize: bool = True):
     return functools.partial(jax.jit, donate_argnums=0)(body)
 
 
+def make_loop_fn_split(config: SlamConfig, in_graph_optimize: bool = True):
+    """Loop tick with SMALL outputs and NO donation.
+
+    The tick only reads the multi-GB keyframe DB and only mutates the small
+    graph arrays (factors, poses, counters). The full-state donated variant
+    (:func:`make_loop_fn`) makes the runtime hand the whole donated state
+    pytree between two alternating executables every cadence period — which
+    costs ~15-20 ms/tick in buffer bookkeeping on the tunneled runtime even
+    though the tick's compute is ~0.5 ms. Here the DB is a plain read-only
+    input and only the mutated fields are outputs, so nothing multi-GB
+    crosses the program boundary in either direction.
+
+    Returns ``fn(state, frame) -> ((pg, poses, loop_count, pending), det)``;
+    stitch with ``state._replace(...)`` on the host (free — it only swaps
+    pytree leaves).
+    """
+    body = _make_loop_body(config, in_graph_optimize)
+
+    @jax.jit
+    def loop_fn_split(state: SlamState, frame):
+        new_state, det = body(state, frame)
+        return (
+            new_state.pg,
+            new_state.poses,
+            new_state.loop_count,
+            new_state.pending_optimize,
+        ), det
+
+    return loop_fn_split
+
+
 def make_optimize_fn(config: SlamConfig):
     """Pose-graph optimization (run_pose_graph_optimization, slam_node.cpp:177-185).
 
@@ -551,7 +620,7 @@ class SlamEngine:
         self.config = config
         self._init_fn = make_init_fn(config)
         self._step_fn = make_step_fn(config)
-        self._loop_fn = make_loop_fn(config)
+        self._loop_fn = make_loop_fn_split(config)
         self._optimize_fn = make_optimize_fn(config)
         self._finalize_fn = make_finalize_fn(config)
         self._block = max(config.dispatch_block, 0)
@@ -564,7 +633,20 @@ class SlamEngine:
                 )
             self._block_fn = make_block_step_fn(config, self._block)
         self._pending: list = []  # buffered (raw, count[, normals]) tuples
+        self._resident = None     # (scans_dev (T,N,3), counts_dev (T,))
+        self._resident_block_fn = None
         self.state = init_state(config)
+        self._frame = 0
+
+    def reset(self) -> None:
+        """Blank the SLAM state without rebuilding the jitted programs.
+
+        Re-creating the engine re-traces + recompiles (or re-deserializes)
+        every program; ``reset`` keeps them so repeated runs in one process
+        (benchmark repetitions, multi-sequence evaluation) pay compilation
+        once."""
+        self._pending.clear()
+        self.state = init_state(self.config)
         self._frame = 0
 
     # -- scan feeding ------------------------------------------------------
@@ -648,8 +730,12 @@ class SlamEngine:
                 and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
-                self.state, det = self._loop_fn(
+                (pg_s, poses, lc_n, pend), det = self._loop_fn(
                     self.state, jnp.int32(self._frame)
+                )
+                self.state = self.state._replace(
+                    pg=pg_s, poses=poses, loop_count=lc_n,
+                    pending_optimize=pend,
                 )
                 if sync_info:
                     acc = np.asarray(det.accepted)
@@ -690,6 +776,75 @@ class SlamEngine:
                     jnp.int32(frame0 + k), **kw
                 )
         self._pending.clear()
+
+    # -- resident-scan execution (transfer-free steady state) ---------------
+
+    def preload(self, scans: list) -> None:
+        """Upload all prepared scans to the device ONCE as a (T, N, 3) store.
+
+        Call BEFORE any result fetch: on tunneled runtimes a single
+        device->host fetch permanently degrades upload bandwidth ~30x (see
+        :func:`make_resident_block_fn`), so the one big healthy-bandwidth
+        transfer here is the last host->device data movement the run needs.
+        ``run_preloaded`` then drives the whole pipeline with scalar-only
+        operands. Not compatible with ``config.host_normals``."""
+        if self.config.host_normals:
+            raise ValueError("preload does not support host_normals")
+        cap = (
+            self.config.max_points
+            if self.config.host_voxelize
+            else self.config.max_raw_points
+        )
+        T = len(scans)
+        buf = np.zeros((T, cap, 3), np.float32)
+        cnt = np.zeros((T,), np.int32)
+        for i, s in enumerate(scans):
+            n = min(len(s), cap)
+            buf[i, :n] = s[:n]
+            cnt[i] = n
+        self._resident = (jnp.asarray(buf), jnp.asarray(cnt))
+        if self._block > 1 and self._resident_block_fn is None:
+            self._resident_block_fn = make_resident_block_fn(
+                self.config, self._block
+            )
+
+    def run_preloaded(self) -> None:
+        """Process every preloaded scan (same math and loop cadence as
+        ``push_scan`` streaming, zero steady-state host->device transfers)."""
+        if self._resident is None:
+            raise ValueError("call preload(scans) first")
+        scans, counts = self._resident
+        T = int(scans.shape[0])
+        cfg = self.config
+        if self._frame == 0 and T > 0:
+            self.state = self._init_fn(self.state, scans[0], counts[0])
+            self._frame = 1
+        B = self._block if self._block > 1 else 1
+        f = self._frame
+        while f < T:
+            if B > 1 and f + B <= T:
+                self.state = self._resident_block_fn(
+                    self.state, scans, counts, jnp.int32(f)
+                )
+                f += B
+            else:
+                self.state = self._step_fn(
+                    self.state, scans[f], counts[f], jnp.int32(f)
+                )
+                f += 1
+            last = f - 1
+            if (
+                last % cfg.loop_check_every == 0
+                and last > cfg.loop_start_frame
+            ):
+                (pg_s, poses, lc_n, pend), _ = self._loop_fn(
+                    self.state, jnp.int32(last)
+                )
+                self.state = self.state._replace(
+                    pg=pg_s, poses=poses, loop_count=lc_n,
+                    pending_optimize=pend,
+                )
+        self._frame = T
 
     def flush(self) -> None:
         """Make ``state`` current: dispatch any buffered scans (block mode).

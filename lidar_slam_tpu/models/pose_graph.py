@@ -507,6 +507,13 @@ def optimize_host(state: PoseGraphState, cfg: PoseGraphConfig,
     lt = np.asarray(state.loop_to)
     loop_rel = np.asarray(state.loop_rel, np.float64)
     loop_valid = np.asarray(state.loop_valid)
+    # Compact to ACCEPTED loops: the device solver must run at the static
+    # ``max_loop_factors`` capacity, but here shapes are dynamic and the
+    # Woodbury K-solve is O((6L)^3) — at the default capacity 512 that is a
+    # 3072^2 dense solve (~2.4 s/iteration at F=1500) vs ~ms for the tens of
+    # loops actually accepted.
+    sel = np.flatnonzero(loop_valid)
+    lf, lt, loop_rel, loop_valid = lf[sel], lt[sel], loop_rel[sel], loop_valid[sel]
     L = lf.shape[0]
 
     ps, osig, lsig = (np.asarray(s, np.float64) for s in _whiten(cfg))

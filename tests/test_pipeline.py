@@ -189,6 +189,44 @@ def test_block_dispatch_equivalence():
     np.testing.assert_array_equal(m1["icp_iters"], m2["icp_iters"])
 
 
+def test_resident_mode_equivalence():
+    """preload + run_preloaded (device-resident scans, scalar-only dispatch
+    operands) is bit-exact vs streaming push_scan, and reset() reruns from a
+    blank state without rebuilding the jitted programs."""
+    n = 24
+    half = route_half_for(n)
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(n, half=half)
+    rng = np.random.default_rng(0)
+    scans = [render_scan(world, gt[i], rng, max_points=1500) for i in range(n)]
+
+    e1 = SlamEngine(tiny_config(dispatch_block=2))
+    for s in scans:
+        e1.push_scan(s)
+    e1.finalize()
+
+    e2 = SlamEngine(tiny_config(dispatch_block=2))
+    e2.preload(scans)
+    e2.run_preloaded()
+    e2.finalize()
+    assert np.abs(e1.trajectory() - e2.trajectory()).max() < 1e-6
+    m1, m2 = e1.metrics(), e2.metrics()
+    assert m1["loop_count"] == m2["loop_count"]
+    np.testing.assert_array_equal(m1["icp_iters"], m2["icp_iters"])
+
+    # reset + rerun reproduces the same result on the same resident data
+    e2.reset()
+    e2.run_preloaded()
+    e2.finalize()
+    assert np.abs(e1.trajectory() - e2.trajectory()).max() < 1e-6
+
+    # partial tail: resident length not a block multiple
+    e3 = SlamEngine(tiny_config(dispatch_block=2, loop_check_every=4))
+    e3.preload(scans[:11])
+    e3.run_preloaded()
+    assert int(e3.state.n_poses) == 11
+
+
 def test_block_dispatch_partial_tail_flush():
     """A dataset length that is not a block multiple still processes every
     frame (flush dispatches the partial tail as single steps)."""
