@@ -34,6 +34,12 @@ Environment knobs:
   BENCH_WARM     (default 1)     constant-velocity ICP warm start
   BENCH_KNN      (default auto)  1-NN backend
   BENCH_HOST_VOX (default 1)     voxelize on host (C++ loader path)
+  BENCH_ITERS    (default 20)    ICP max iterations
+  BENCH_RESIDENT (default 1)     device-resident scan store (0 = stream)
+  BENCH_MODE     (default fast)  'northstar' = reference-fidelity single-
+                                 config demo: full-density source, tol 1e-6,
+                                 50 iters, identity init; JSON line reports
+                                 BOTH scans/s and ate_m
 """
 
 from __future__ import annotations
@@ -58,12 +64,22 @@ def main() -> int:
     icp_sample = int(os.environ.get("BENCH_SAMPLE", 4096))
     icp_target = int(os.environ.get("BENCH_TGT", 0))
     icp_tol = float(os.environ.get("BENCH_TOL", 3e-4))
+    icp_iters = int(os.environ.get("BENCH_ITERS", 20))
     block = int(os.environ.get("BENCH_BLOCK", 10))
     noloop = os.environ.get("BENCH_NOLOOP", "0") == "1"
     nwin = int(os.environ.get("BENCH_NWIN", 0))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
     knn_backend = os.environ.get("BENCH_KNN", "auto")
     runs = int(os.environ.get("BENCH_RUNS", 2))
+    # BENCH_MODE=northstar: the single-config demo — REFERENCE fidelity
+    # settings (full-density source, |delta-error| tol 1e-6, 50 iterations,
+    # identity init: types.hpp:143-148, icp.hpp:174) at full scale, reporting
+    # BOTH scans/s and ATE in one JSON line so the speed and accuracy claims
+    # live in the same configuration.
+    mode = os.environ.get("BENCH_MODE", "fast")
+    if mode == "northstar":
+        icp_sample, icp_tol, icp_iters, warm = 0, 1e-6, 50, False
+        knn_backend = os.environ.get("BENCH_KNN", "pallas")  # exact brute
 
     import jax
 
@@ -103,7 +119,8 @@ def main() -> int:
         host_voxelize=host_vox,
         dispatch_block=block,
         icp=ICPConfig(sample_points=icp_sample, target_points=icp_target,
-                      tolerance=icp_tol, max_iterations=20, warm_start=warm),
+                      tolerance=icp_tol, max_iterations=icp_iters,
+                      warm_start=warm),
         lc=LoopClosureConfig(
             verify_sample=4096, verify_tolerance=icp_tol,
             yaw_seed=os.environ.get("BENCH_YAWSEED", "0") == "1",
@@ -188,19 +205,32 @@ def main() -> int:
         wall = min(wall, w)
     sps = frames / wall
 
-    # JSON line FIRST (the driver's record) — the post-run summary below does
-    # device->host fetches that can hang on a flaky tunnel.
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_scale_full_slam_scans_per_sec",
-                "value": round(sps, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(sps / 200.0, 3),
-            }
-        ),
-        flush=True,
-    )
+    rec = {
+        "metric": "kitti_scale_full_slam_scans_per_sec",
+        "value": round(sps, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(sps / 200.0, 3),
+    }
+    if mode == "northstar":
+        # the single-config demo embeds accuracy next to speed; the fetch is
+        # watchdogged so a wedged tunnel can't block the JSON line
+        try:
+            import signal
+
+            def _bail(sig, frm):
+                raise TimeoutError("ATE fetch timed out")
+
+            signal.signal(signal.SIGALRM, _bail)
+            signal.alarm(180)
+            rec["ate_m"] = round(float(ate_rmse(eng.trajectory(), gt)), 3)
+            rec["mode"] = "northstar_reference_fidelity"
+            signal.alarm(0)
+        except Exception as e:
+            log(f"northstar ATE fetch failed: {e}")
+    # JSON line FIRST among fetch-heavy output (the driver's record) — the
+    # post-run summary below does device->host fetches that can hang on a
+    # flaky tunnel.
+    print(json.dumps(rec), flush=True)
     try:
         # Watchdog: the summary fetches device arrays; on a flaky/contended
         # tunnel a fetch can wedge — never let it hold the driver hostage.

@@ -145,6 +145,10 @@ class PoseGraphConfig:
     #   iterations / 142 s; woodbury converges in a handful of exact steps.
     # 'cg' = matrix-free PCG on the autodiff-linearized system (fallback,
     #   and the only path when relative_param=False).
+    # At KITTI extents the f32 woodbury steps stall (K needs ~1e-11 relative
+    # precision); optimize_chunked then escalates to the ON-DEVICE
+    # emulated-f64 LM (pose_graph.optimize_dd, double-single arithmetic)
+    # and finally to the NumPy-f64 host backstop.
     solver: str = "woodbury"
     cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
     cg_tolerance: float = 1e-10        # relative to |b|^2

@@ -145,6 +145,13 @@ def add_loop(
     )
 
 
+# TPU matmul units ingest bf16 by default; every contraction in the Woodbury
+# algebra must run at true f32 (HIGHEST) — K entries reach ~1e10 from squared
+# whitened lever arms, far beyond bf16's 8-bit mantissa. se3.py pins its own
+# matmuls the same way.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _between_residual(Ti, Tj, meas_inv):
     """Whitened-later residual Log(meas^-1 (Ti^-1 Tj)) for batched factors."""
     rel = se3.compose(se3.inverse(Ti), Tj)
@@ -246,6 +253,184 @@ def _residuals_rel(state: PoseGraphState, d: jnp.ndarray, cfg: PoseGraphConfig):
     return jnp.concatenate([r_prior, r_odom, r_loop], axis=0)
 
 
+# -- DD-translation pose chain (support for the emulated-f64 backend) --------
+#
+# At KITTI extents the f32 ABSOLUTE pose chain is the accuracy floor of the
+# whole backend: positions reach ~750 m (ulp ~ 6e-5 m), and the loop-closure
+# residual Log(meas^-1 inv(P_i) P_j) cancels two such positions, so its
+# translation rows carry ~1e-3 m of prefix-scan rounding — whitened by the
+# 0.025 m loop sigma that is ~0.04 per entry, and through the ~1.5e5 whitened
+# lever arms it contaminates the gradient enough that LM stalls at cost ~250
+# where f64 reaches ~4 (measured, 4,500 poses). Fix: carry the chain
+# TRANSLATION as a DD pair through the associative scan. Rotations stay f32
+# (O(1) entries; their ~1e-6 rad scan error is far inside the 0.01 rad
+# sigma). Odometry rows never touch absolute poses (they are local), and the
+# relative transforms are extracted from the stored f32 poses EXACTLY
+# (two_sum of exactly-representable values), so nothing else needs widening.
+
+
+def _rot_apply_dd(R, t):
+    """Apply (..., 3, 3) f32 rotations to DD 3-vectors with DD accumulation."""
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    prod = df64.mul_f(DD(t.hi[..., None, :], t.lo[..., None, :]), R)
+    return df64.dsum(prod, axis=-1)
+
+
+def _matmul3_dd(A, B):
+    """(..., 3, 3) @ (..., 3, 3) fully in DD."""
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    # [i, k, j] = A[i, k] * B[k, j], summed over k (axis -2)
+    prod = df64.mul(DD(A.hi[..., :, :, None], A.lo[..., :, :, None]),
+                    DD(B.hi[..., None, :, :], B.lo[..., None, :, :]))
+    return df64.dsum(prod, axis=-2)
+
+
+def _rot_apply_dddd(R, t):
+    """DD (..., 3, 3) rotation applied to a DD 3-vector."""
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    prod = df64.mul(DD(R.hi, R.lo),
+                    DD(t.hi[..., None, :], t.lo[..., None, :]))
+    return df64.dsum(prod, axis=-1)
+
+
+def _inv3_dd(R):
+    """TRUE inverse of near-orthogonal f32 (..., 3, 3) rotations, in DD.
+
+    The transpose is NOT good enough for the chain extraction: stored f32
+    rotations are only ~1e-7 orthogonal, and the extract-recompose round
+    trip telescopes R_k R_k^T = I + delta_k across all F steps — measured
+    4.5e-4 rad of rotation drift and 0.15 m of position error at 4,500
+    poses (the host f64 path telescopes exactly because np.linalg.inv is a
+    true inverse). One Newton step off the transpose,
+    inv(R) = R^T (2I - R R^T) + O(delta^2), leaves delta^2 ~ 1e-14 — at the
+    DD noise floor."""
+    from ..ops import df64
+
+    Rdd = df64.dd(R)
+    RT = df64.dd(jnp.swapaxes(R, -1, -2))
+    S = _matmul3_dd(Rdd, RT)                          # I + delta
+    eye2 = 2.0 * jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), S.hi.shape)
+    C = df64.sub(df64.dd(eye2), S)                    # 2I - (I + delta)
+    return _matmul3_dd(RT, C)
+
+
+def _compose_rt_dd(a, b):
+    """SE(3) composition on (R DD, t DD) pairs: (Ra Rb, ta + Ra tb).
+
+    Rotations are carried in DD too: an f32 rotation scan drifts ~1e-6 rad
+    over 4,500 log-depth products, and 750 m lever arms turn that into
+    ~0.1 m position error — whitened O(1) loop-row noise that alone stalls
+    the LM at cost ~250 (measured; f64 reaches 4.1)."""
+    from ..ops import df64
+
+    Ra, ta = a
+    Rb, tb = b
+    return (_matmul3_dd(Ra, Rb), df64.add(ta, _rot_apply_dddd(Ra, tb)))
+
+
+def _chain_dd(state: PoseGraphState, d: jnp.ndarray):
+    """Relative-parameterization pose chain with the prefix products
+    accumulated fully in DD (double-single) precision.
+
+    Same semantics as :func:`_poses_from_rel_deltas` (P_0 = T_0 Exp(d_0),
+    P_k = P_{k-1} R_k Exp(d_k)). The relative inputs are each ONE product
+    of exactly-stored f32 values (error ~eps32 absolute, the measurement
+    floor); the DD scan preserves them instead of compounding rounding.
+
+    Returns ``(PR, Pt)``: chain rotations (F, 3, 3) f32 and chain
+    translations DD (F, 3).
+    """
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    T = state.poses
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    # Exact relative extraction: the f32 stored positions are exact values,
+    # so their DD difference is exact; the rotation must be inverted with a
+    # TRUE inverse (see _inv3_dd) or the recomposition drifts.
+    dt = df64.sub(df64.dd(t[1:]), df64.dd(t[:-1]))
+    Rinv = _inv3_dd(R[:-1])                           # (F-1, 3, 3) DD
+    rel_t = _rot_apply_dddd(Rinv, dt)                 # (F-1, 3) DD
+    rel_R = _matmul3_dd(Rinv, df64.dd(R[1:]))         # R_{k-1}^-1 R_k in DD
+
+    E = se3.exp(d)                                    # (F, 4, 4)
+    Re = df64.dd(E[..., :3, :3])
+    te = df64.dd(E[..., :3, 3])
+    R0 = df64.dd(R[0][None])
+    M0R = _matmul3_dd(R0, DD(Re.hi[:1], Re.lo[:1]))
+    M0t = df64.add(df64.dd(t[0][None]),
+                   _rot_apply_dddd(R0, DD(te.hi[:1], te.lo[:1])))
+    MkR = _matmul3_dd(rel_R, DD(Re.hi[1:], Re.lo[1:]))
+    Mkt = df64.add(rel_t, _rot_apply_dddd(rel_R, DD(te.hi[1:], te.lo[1:])))
+
+    MR = DD(jnp.concatenate([M0R.hi, MkR.hi], axis=0),
+            jnp.concatenate([M0R.lo, MkR.lo], axis=0))
+    Mt = DD(jnp.concatenate([M0t.hi, Mkt.hi], axis=0),
+            jnp.concatenate([M0t.lo, Mkt.lo], axis=0))
+    PR, Pt = jax.lax.associative_scan(_compose_rt_dd, (MR, Mt))
+    return df64.to_f32(PR), Pt
+
+
+def _residuals_dd0(state: PoseGraphState, cfg: PoseGraphConfig) -> jnp.ndarray:
+    """Whitened residuals of the STORED poses (zero delta) with every 750 m
+    cancellation done in DD — identical factor model to
+    :func:`_residuals_rel` at ``d = 0``.
+
+    Critically, this does NOT rebuild the chain through a prefix scan: at
+    zero delta all factors are functions of stored-pose DIFFERENCES, and the
+    stored f32 values are exact, so ``two_sum`` subtraction gives the exact
+    relative translations. (A scan rebuild — even with DD translations —
+    injects f32 ROTATION noise ~1e-6 rad that 750 m lever arms turn into
+    ~0.1 m loop-row errors, whitened O(1); measured: those errors alone
+    stall the LM at cost ~260 where f64 reaches 4.1.) Residual VALUES are
+    O(sigma)-small, so the f32 output loses nothing."""
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    F = state.poses.shape[0]
+    prior_sig, odom_sig, loop_sig = _whiten(cfg)
+    T = state.poses
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+
+    r_prior = (se3.log(T[0]) / prior_sig)[None, :]    # near origin: f32 exact
+
+    # odometry rows: rel_k = T_{k-1}^-1 T_k with the translation difference
+    # in DD (exact for exactly-stored f32 positions)
+    dt = df64.sub(df64.dd(t[1:]), df64.dd(t[:-1]))
+    RT = jnp.swapaxes(R[:-1], -1, -2)
+    rel_t = _rot_apply_dd(RT, dt)
+    rel_R = jnp.einsum("...ji,...jk->...ik", R[:-1], R[1:], precision=_PREC)
+    rel4 = se3.from_rt(rel_R, df64.to_f32(rel_t))     # O(1 m): f32 ok
+    meas_inv = se3.inverse(state.odom_rel[1:])
+    r_odom = se3.log(se3.compose(meas_inv, rel4))
+    k = jnp.arange(1, F)
+    odom_w = (state.odom_valid[1:] & (k < state.n_poses)).astype(jnp.float32)
+    scale = jnp.maximum(state.odom_scale[1:], 1e-12)
+    r_odom = r_odom * odom_w[:, None] / (odom_sig[None, :] * scale[:, None])
+
+    # loop rows: inv(T_i) T_j with the 750 m cancellation done in DD
+    lf, lt = state.loop_from, state.loop_to
+    Ri, Rj = R[lf], R[lt]
+    dtl = df64.sub(DD(t[lt], jnp.zeros_like(t[lt])),
+                   DD(t[lf], jnp.zeros_like(t[lf])))
+    rel_tl = _rot_apply_dd(jnp.swapaxes(Ri, -1, -2), dtl)
+    rel_Rl = jnp.einsum("...ji,...jk->...ik", Ri, Rj, precision=_PREC)
+    rel_ij = se3.from_rt(rel_Rl, df64.to_f32(rel_tl))
+    r_loop = se3.log(se3.compose(se3.inverse(state.loop_rel), rel_ij))
+    loop_w = state.loop_valid.astype(jnp.float32)
+    r_loop = r_loop * loop_w[:, None] / loop_sig[None, :]
+
+    return jnp.concatenate([r_prior, r_odom, r_loop], axis=0)
+
+
 def graph_error(state: PoseGraphState, cfg: PoseGraphConfig) -> jnp.ndarray:
     """GTSAM-convention error: 0.5 * sum of squared whitened residuals."""
     F = state.poses.shape[0]
@@ -340,17 +525,17 @@ def _woodbury_solve(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
 
     def BT(z):
         """(B^T z)_l = E_l z for z (F, 6): sgn W H (V_hi - V_lo)."""
-        V = jnp.cumsum(jnp.einsum("fij,fj->fi", G, z), axis=0)  # (F, 6)
-        return jnp.einsum("lij,lj->li", X, V[hi] - V[lo])       # (L, 6)
+        V = jnp.cumsum(jnp.einsum("fij,fj->fi", G, z, precision=_PREC), axis=0)  # (F, 6)
+        return jnp.einsum("lij,lj->li", X, V[hi] - V[lo], precision=_PREC)       # (L, 6)
 
     def B(y):
         """sum_l E_l^T y_l for y (L, 6): difference-array + cumsum."""
-        c = jnp.einsum("lji,lj->li", X, y)  # X^T y per loop (L, 6)
+        c = jnp.einsum("lji,lj->li", X, y, precision=_PREC)  # X^T y per loop (L, 6)
         diff = jnp.zeros((F + 1, 6), r0.dtype)
         diff = diff.at[lo + 1].add(c)
         diff = diff.at[hi + 1].add(-c)
         A = jnp.cumsum(diff[:F], axis=0)    # (F, 6) active-range sums
-        return jnp.einsum("fji,fj->fi", G, A)  # G^T A per frame
+        return jnp.einsum("fji,fj->fi", G, A, precision=_PREC)  # G^T A per frame
 
     # g = J^T r0
     g_diag = jnp.concatenate(
@@ -359,14 +544,14 @@ def _woodbury_solve(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
     g = g_diag + B(r_loop)
 
     # K = I + B^T D^-1 B via prefix sums of G D^-1 G^T.
-    GDG = jnp.einsum("fij,fj,fkj->fik", G, Dinv, G)     # (F, 6, 6)
+    GDG = jnp.einsum("fij,fj,fkj->fik", G, Dinv, G, precision=_PREC)     # (F, 6, 6)
     S = jnp.cumsum(GDG, axis=0)                          # (F, 6, 6) prefix
     a = jnp.maximum(lo[:, None], lo[None, :])            # (L, L)
     b = jnp.minimum(hi[:, None], hi[None, :])
     Sb = S[b]                                            # (L, L, 6, 6)
     Sa = S[a]
     M = jnp.where((b > a)[..., None, None], Sb - Sa, 0.0)
-    Kb = jnp.einsum("lab,lmbc,mdc->lamd", X, M, X)       # (L, 6, L, 6)
+    Kb = jnp.einsum("lab,lmbc,mdc->lamd", X, M, X, precision=_PREC)       # (L, 6, L, 6)
     K = Kb.reshape(L * 6, L * 6) + jnp.eye(L * 6, dtype=r0.dtype)
 
     rhs = -g
@@ -375,6 +560,168 @@ def _woodbury_solve(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
     cf = jax.scipy.linalg.cho_factor(K)
     alpha = jax.scipy.linalg.cho_solve(cf, bt).reshape(L, 6)
     return y1 - Dinv * B(alpha)
+
+
+def _woodbury_solve_dd(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
+    """The Woodbury step with its K-pipeline in DD (double-single) arithmetic
+    — the ON-DEVICE f64-equivalent backend for KITTI-extent graphs.
+
+    Why: K = I + B^T D^-1 B has entries ~1e10 (squared whitened lever arms,
+    |t| ~ 750 m / 5 mrad) with O(1) smallest eigenvalues, so it needs ~1e-11
+    RELATIVE precision to stay positive definite; f32 assembly error (~3e4
+    absolute) makes K32 indefinite and every Cholesky step NaN — measured:
+    the f32 LM accepts ZERO steps at 4,500 poses while this path's first
+    step matches the f64 one (cost 1.9579e9 -> 1.1855e7 vs f64's 1.1855e7
+    on the full-scale test graph;
+    tests/test_pose_graph.py::test_dd_solver_matches_host_f64). TPU has
+    no f64 ALU (the plugin demotes f64 to f32 silently), so extended
+    precision is emulated with f32 pairs (ops/df64.py).
+
+    Everything OUTSIDE the K-pipeline stays f32 (residuals, adjoints,
+    weights, retract) — measured sufficient (variant sweep: f32 residuals +
+    f32 cost + f64-K converges to the f64 optimum).
+
+    COMPILATION CONTRACT: this function must be jitted with XLA's CSE pass
+    disabled (``compiler_options={"xla_disable_hlo_passes": "cse"}``, as
+    :func:`_dd_lm_step` does) or executed eagerly. CSE merges syntactically
+    equal subexpressions across the optimization barriers and re-exposes
+    the error-free-transform identities to later simplification; measured
+    at 4,500 poses: the one-step cost lands at 1.19e7 (the f64 value) with
+    CSE off, 1.19e10 (rejected step) with CSE on, all else equal. Do NOT
+    call it inside lax.while_loop/cond bodies — those compile through the
+    default pass pipeline.
+    """
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    F = state.poses.shape[0]
+    L = state.loop_from.shape[0]
+    T = state.poses
+    prior_sig, odom_sig, loop_sig = _whiten(cfg)
+
+    k = jnp.arange(1, F)
+    odom_w = (state.odom_valid[1:] & (k < state.n_poses)).astype(jnp.float32)
+    scale = jnp.maximum(state.odom_scale[1:], 1e-12)
+    w_odom = odom_w[:, None] / (odom_sig[None, :] * scale[:, None])
+    w_prior = 1.0 / prior_sig
+    loop_w = state.loop_valid.astype(jnp.float32)
+    w_loop = loop_w[:, None] / loop_sig[None, :]
+
+    D = jnp.concatenate([(w_prior**2)[None, :], w_odom**2], axis=0) + lam
+    Dinv = 1.0 / D
+
+    G = se3.adjoint(T)                               # (F, 6, 6) f32
+    H = se3.adjoint(se3.inverse(T[state.loop_to]))
+    lo = jnp.minimum(state.loop_from, state.loop_to)
+    hi = jnp.maximum(state.loop_from, state.loop_to)
+    sgn = jnp.where(state.loop_to >= state.loop_from, 1.0, -1.0)
+    X = sgn[:, None, None] * w_loop[:, :, None] * H  # (L, 6, 6) f32
+    # ONE materialized realization of the shared inputs. Under jit XLA
+    # rematerializes shared subexpressions per fusion context with different
+    # rounding, so the K assembly and the B/B^T applications would see
+    # eps32-DIFFERENT copies of G/X — and the Woodbury substitution needs K
+    # to equal I + B^T D^-1 B for the SAME operator to ~1e-14, else alpha is
+    # O(1) wrong (measured: jitted delta 1e4x off until this barrier).
+    G, X, Dinv, w_odom, w_prior = jax.lax.optimization_barrier(
+        (G, X, Dinv, w_odom, w_prior)
+    )
+
+    # loop-l active frame range as a mask (scatter-free: DD scatter-adds
+    # would round away the compensation terms)
+    f_idx = jnp.arange(F)
+    seg = ((lo[None, :] + 1) <= f_idx[:, None]) & (
+        f_idx[:, None] <= hi[None, :]
+    )                                                # (F, L) bool
+    segf = seg.astype(jnp.float32)
+
+    def BT_dd(z: DD) -> DD:
+        """(L, 6) <- X (V_hi - V_lo), V = prefix sums of G z, all DD."""
+        Gz = df64.dsum(df64.mul_f(DD(z.hi[:, None, :], z.lo[:, None, :]), G),
+                       axis=2)                       # (F, 6)
+        V = df64.cumsum(Gz, axis=0)
+        Vh = DD(V.hi[hi], V.lo[hi])
+        Vl = DD(V.hi[lo], V.lo[lo])
+        dV = df64.sub(Vh, Vl)                        # (L, 6)
+        return df64.dsum(
+            df64.mul_f(DD(dV.hi[:, None, :], dV.lo[:, None, :]), X), axis=2
+        )
+
+    def B_dd(y: DD) -> DD:
+        """(F, 6) <- sum_l over active ranges, DD; A via masked contraction."""
+        c = df64.dsum(
+            df64.mul_f(DD(y.hi[:, :, None], y.lo[:, :, None]), X), axis=1
+        )                                            # (L, 6) X^T y
+        # A[f] = sum_l seg[f, l] * c_l   (F, 6)
+        A = df64.dsum(
+            df64.mul_f(DD(c.hi[None, :, :], c.lo[None, :, :]),
+                       segf[:, :, None]),
+            axis=1,
+        )
+        return df64.dsum(
+            df64.mul_f(DD(A.hi[:, None, :], A.lo[:, None, :]),
+                       jnp.swapaxes(G, -1, -2)), axis=2
+        )
+
+    r_prior, r_odom, r_loop = r0[0], r0[1:F], r0[F:]
+    g_diag = jnp.concatenate(
+        [(w_prior * r_prior)[None, :], w_odom * r_odom], axis=0
+    )
+    g = df64.add(df64.dd(g_diag), B_dd(df64.dd(r_loop)))  # (F, 6) DD
+
+    # K assembly in DD
+    GD = df64.mul_f(df64.dd(G), Dinv[:, None, :])    # G * Dinv (cols j)
+    # GDG[f,i,k] = sum_j GD[f,i,j] G[f,k,j]
+    GDG = df64.dsum(
+        df64.mul_f(DD(GD.hi[:, :, None, :], GD.lo[:, :, None, :]),
+                   G[:, None, :, :]), axis=3
+    )                                                # (F, 6, 6)
+    S = df64.cumsum(GDG, axis=0)
+    a_i = jnp.maximum(lo[:, None], lo[None, :])
+    b_i = jnp.minimum(hi[:, None], hi[None, :])
+    Mdd = df64.sub(DD(S.hi[b_i], S.lo[b_i]), DD(S.hi[a_i], S.lo[a_i]))
+    valid_pair = (b_i > a_i)[..., None, None]
+    Mdd = DD(jnp.where(valid_pair, Mdd.hi, 0.0),
+             jnp.where(valid_pair, Mdd.lo, 0.0))     # (L, L, 6, 6)
+    # tmp[l,m,a,c] = sum_b X[l,a,b] M[l,m,b,c]
+    tmp = df64.dsum(
+        df64.mul_f(DD(Mdd.hi[:, :, None, :, :], Mdd.lo[:, :, None, :, :]),
+                   X[:, None, :, :, None]), axis=3
+    )                                                # (L, L, 6, 6)
+    # K[l,a,m,d] = sum_c tmp[l,m,a,c] X[m,d,c]
+    Kdd = df64.dsum(
+        df64.mul_f(DD(tmp.hi[:, :, :, None, :], tmp.lo[:, :, :, None, :]),
+                   X[None, :, None, :, :]), axis=4
+    )                                                # (L, M, 6a, 6d)
+    Kdd = DD(jnp.transpose(Kdd.hi, (0, 2, 1, 3)).reshape(L * 6, L * 6),
+             jnp.transpose(Kdd.lo, (0, 2, 1, 3)).reshape(L * 6, L * 6))
+    eye = jnp.eye(L * 6, dtype=jnp.float32)
+    Kdd = df64.add(Kdd, df64.dd(eye))
+
+    # rhs
+    y1 = df64.mul_f(df64.neg(g), Dinv)
+    bt = BT_dd(y1)
+    btv = DD(bt.hi.reshape(L * 6), bt.lo.reshape(L * 6))
+
+    # Direct DD Cholesky solve. A backward-stable factorization at DD
+    # precision is REQUIRED here: kappa(K) ~ 1e10 and the LM step amplifies
+    # alpha error through the whitened lever arms, so the alpha must be the
+    # exact solution of a ~1e-15-perturbed K. (Measured: PCG at DD precision
+    # leaves ~4e-7 forward error whose direction breaks the step — cost goes
+    # UP; this direct solve matches the f64 reference step at the cost
+    # level.) The RHS is deliberately NOT normalized: |bt| ~ 1e14 stays far
+    # inside f32 range through the substitutions (largest intermediates are
+    # Veltkamp splits at 4097*|bt| ~ 1e18 << 3.4e38), and a scale/unscale
+    # round-trip is a trap — jnp.exp2 is a polynomial APPROXIMATION whose
+    # f32 result at integer arguments can be one ulp off a true power of
+    # two (measured: exp2(48) = 2^48*(1+1.2e-7)), so "exact" exp2 scaling
+    # silently perturbs alpha by ~eps32 relative — exactly the level that
+    # destroys the step (measured: cost-after 1.19e7 -> 9.87e10 at 4,500
+    # poses from this alone).
+    Lfac = df64.cholesky(Kdd)
+    alpha = df64.solve_cholesky(Lfac, btv)
+    alpha = DD(alpha.hi.reshape(L, 6), alpha.lo.reshape(L, 6))
+    d = df64.sub(y1, df64.mul_f(B_dd(alpha), Dinv))
+    return df64.to_f32(d)
 
 
 class OptimizeResult(NamedTuple):
@@ -445,6 +792,9 @@ def optimize(
         if cfg.relative_param and cfg.solver == "woodbury":
             # Exact damped-GN step: hand-linearized diagonal + rank-6L
             # structure — no autodiff through the pose-chain scan, no CG.
+            # (The emulated-f64 variant lives in optimize_dd — it needs a
+            # dedicated jit with CSE disabled, which a while_loop body
+            # cannot provide; see _woodbury_solve_dd's contract.)
             r0 = rfun(zero)
             delta = _woodbury_solve(st, cfg, lam, r0)
         else:
@@ -475,6 +825,107 @@ def optimize(
     init = (jnp.int32(0), state.poses, jnp.float32(cfg.lambda_init), cost0, jnp.bool_(False))
     it, poses, _, cost, done = jax.lax.while_loop(lm_cond, lm_body, init)
     return OptimizeResult(poses=poses, final_error=cost, iterations=it, converged=done)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    # CSE merges syntactically-equal subexpressions ACROSS the DD
+    # optimization barriers, re-exposing the error-free-transform
+    # identities to later passes — measured at 4,500 poses: step cost-after
+    # 1.19e7 (= f64) with CSE off vs 1.19e10 (rejected) with it on. This is
+    # the one program in the framework that trades CSE for correctness.
+    compiler_options={"xla_disable_hlo_passes": "cse"},
+)
+def _dd_lm_step(state: PoseGraphState, lam, cfg: PoseGraphConfig):
+    """One emulated-f64 LM step as a dedicated XLA program: DD residuals ->
+    DD Woodbury solve -> DD retraction -> trial cost. Host drives
+    accept/reject. The retracted chain is rounded to f32 for storage (the
+    state's pose quantization costs ~1e-3 whitened cost — negligible), and
+    the NEXT evaluation re-derives relative transforms from it exactly."""
+    from ..ops import df64
+
+    r0 = _residuals_dd0(state, cfg)
+    cost = 0.5 * jnp.sum(r0 * r0)
+    d = _woodbury_solve_dd(state, cfg, lam, r0)
+    PR, Pt = _chain_dd(state, d)
+    new_poses = se3.orthonormalize(se3.from_rt(PR, df64.to_f32(Pt)))
+    r1 = _residuals_dd0(state._replace(poses=new_poses), cfg)
+    return new_poses, cost, 0.5 * jnp.sum(r1 * r1)
+
+
+def optimize_dd(
+    state: PoseGraphState,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    max_iterations: int | None = None,
+    resume: OptimizeResult | None = None,
+) -> OptimizeResult:
+    """ON-DEVICE emulated-f64 LM for KITTI-extent graphs (replaces the f64
+    host rescue as the primary precision backstop; pose_graph.cpp:147-171 is
+    the GTSAM f64 solve this stands in for).
+
+    Host-driven outer loop, one jitted XLA program per LM iteration
+    (:func:`_dd_lm_step`). The loop must live on the host for two reasons:
+    the DD solve requires a jit with CSE disabled (``_woodbury_solve_dd``'s
+    compilation contract), which a ``lax.while_loop`` body cannot request;
+    and this keeps each device dispatch bounded (~1 solve), which the
+    tunneled TPU runtime requires anyway (see :func:`optimize_chunked`).
+
+    Loop factors are COMPACTED to the accepted count (padded to a power of
+    two for jit-cache reuse) before dispatch: the DD Cholesky is O((6L)^3)
+    sequential, so running at the 512-loop CAPACITY would waste ~4000x the
+    work of the ~tens of real loops (same reasoning as optimize_host's
+    compaction).
+    """
+    import numpy as np
+
+    max_it = cfg.max_iterations if max_iterations is None else max_iterations
+    if resume is not None:
+        state = state._replace(poses=resume.poses)
+
+    # host-side loop compaction (shapes are dynamic here, static per bucket)
+    valid = np.asarray(state.loop_valid)
+    sel = np.flatnonzero(valid)
+    Lc = max(1, 1 << (max(len(sel), 1) - 1).bit_length())
+    pad = Lc - len(sel)
+    lf = np.concatenate([np.asarray(state.loop_from)[sel], np.zeros(pad, np.int32)])
+    lt = np.concatenate([np.asarray(state.loop_to)[sel], np.zeros(pad, np.int32)])
+    lr = np.concatenate(
+        [np.asarray(state.loop_rel)[sel],
+         np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+    lv = np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)])
+    cstate = state._replace(
+        loop_from=jnp.asarray(lf, jnp.int32),
+        loop_to=jnp.asarray(lt, jnp.int32),
+        loop_rel=jnp.asarray(lr, jnp.float32),
+        loop_valid=jnp.asarray(lv),
+    )
+
+    lam = cfg.lambda_init
+    it = 0
+    conv = False
+    cost = None
+    while it < max_it and lam <= cfg.lambda_max and not conv:
+        new_poses, c0, c1 = _dd_lm_step(cstate, jnp.float32(lam), cfg)
+        if cost is None:
+            cost = float(c0)
+        c1 = float(c1)
+        it += 1
+        if c1 < cost:
+            decrease = cost - c1
+            conv = (decrease < cfg.absolute_error_tol
+                    or decrease < cfg.relative_error_tol * cost)
+            cstate = cstate._replace(poses=new_poses)
+            cost = c1
+            lam = max(lam / cfg.lambda_factor, 1e-12)
+        else:
+            lam = lam * cfg.lambda_factor
+    return OptimizeResult(
+        poses=cstate.poses,
+        final_error=jnp.float32(cost),
+        iterations=jnp.int32(it),
+        converged=jnp.bool_(conv),
+    )
 
 
 def optimize_host(state: PoseGraphState, cfg: PoseGraphConfig,
@@ -696,10 +1147,17 @@ def optimize_chunked(
             # straight to the f64 host rescue below
             break
         prev_err = err
+    if not bool(res.converged) and cfg.solver == "woodbury":
+        # Device f32 LM stalled: the Woodbury K matrix needs ~1e-11 relative
+        # precision at KITTI extents (f32 assembly makes it indefinite).
+        # Escalate to the ON-DEVICE emulated-f64 solver (ops/df64.py) —
+        # same factor model, K-pipeline in double-single arithmetic, one
+        # bounded dispatch per LM iteration.
+        res = optimize_dd(state, cfg, resume=res)
+        total_it += int(res.iterations)
     if not bool(res.converged):
-        # Device f32 LM stalled (large-extent graphs exceed f32's dynamic
-        # range — see optimize_host). Finish on the host in f64, warm-started
-        # from whatever the device chunks achieved.
+        # Last-resort precision backstop: true f64 on the host (same code
+        # path GTSAM's CPU solve represents for the reference).
         host = optimize_host(
             state._replace(poses=res.poses), cfg,
             max_iterations=cfg.max_iterations,

@@ -269,3 +269,51 @@ def test_full_kitti_scale_chunked_with_host_rescue():
     # the host rescue itself is sub-second; the whole path (incl. bounded
     # device chunks) must stay far under the reference's per-loop budget
     assert wall < 300.0, wall
+
+
+def test_dd_solver_matches_host_f64():
+    """The ON-DEVICE emulated-f64 solver (optimize_dd, ops/df64.py) must
+    converge at full KITTI scale where the plain f32 Woodbury accepts zero
+    steps (4,500 poses, ~750 m extents: the capacitance matrix K spans ~1e10
+    of dynamic range, so f32 assembly error makes it indefinite), and land
+    at the same optimum as the true-f64 host solve — the same precision bar
+    GTSAM's f64 CPU LM sets for the reference (pose_graph.cpp:147-171)."""
+    import numpy as np
+
+    from lidar_slam_tpu.config import PoseGraphConfig
+    from lidar_slam_tpu.utils.metrics import ate_rmse
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.profile_pose_graph import build_graph
+
+    n = cap = 4500
+    gt, rels, loops = build_graph(n, 20, seed=0)
+    chain = np.zeros((n, 4, 4), np.float64)
+    chain[0] = np.eye(4)
+    for i in range(1, n):
+        chain[i] = chain[i - 1] @ rels[i]
+
+    st = pg.init_state(cap, max(len(loops), 1))
+    odom_rel = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+    odom_rel[1:n] = rels[1:n].astype(np.float32)
+    odom_valid = np.zeros(cap, bool)
+    odom_valid[1:n] = True
+    st = st._replace(
+        poses=jnp.asarray(chain.astype(np.float32)),
+        n_poses=jnp.int32(n),
+        odom_rel=jnp.asarray(odom_rel),
+        odom_valid=jnp.asarray(odom_valid),
+    )
+    for i, j, rel in loops:
+        st = pg.add_loop(st, jnp.int32(i), jnp.int32(j),
+                         jnp.asarray(rel, jnp.float32))
+
+    res = pg.optimize_dd(st, PoseGraphConfig())
+    host = pg.optimize_host(st, PoseGraphConfig())
+
+    ate_dd = ate_rmse(np.asarray(res.poses[:n]), gt.astype(np.float32))
+    ate_h = ate_rmse(np.asarray(host.poses[:n]), gt.astype(np.float32))
+    # same optimum as the f64 host LM (cost within 5%, ATE within 10%)
+    assert float(res.final_error) <= float(host.final_error) * 1.05, (
+        float(res.final_error), float(host.final_error))
+    assert ate_dd <= ate_h * 1.10 + 0.05, (ate_dd, ate_h)
