@@ -79,9 +79,18 @@ def main() -> int:
     mode = os.environ.get("BENCH_MODE", "fast")
     if mode == "northstar":
         icp_sample, icp_tol, icp_iters, warm = 0, 1e-6, 50, False
-        knn_backend = os.environ.get("BENCH_KNN", "pallas")  # exact brute
+        # 'auto' resolves to an EXACT 1-NN on every platform (Pallas brute
+        # force on TPU, streamed XLA brute force on CPU) — reference
+        # fidelity needs exactness, not a specific kernel.
+        knn_backend = os.environ.get("BENCH_KNN", "auto")
 
     import jax
+
+    # BENCH_CPU=1: force the CPU backend (the JAX_PLATFORMS env var is
+    # ignored once the axon TPU plugin is installed) — smoke-testing bench
+    # changes without TPU access / with a wedged tunnel.
+    if os.environ.get("BENCH_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
 
     from lidar_slam_tpu.config import ICPConfig, LoopClosureConfig, SlamConfig
     from lidar_slam_tpu.models.pipeline import SlamEngine
