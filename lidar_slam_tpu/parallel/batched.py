@@ -20,6 +20,19 @@ from ..config import SlamConfig
 from ..models import pipeline as pipe
 
 
+def _rescue_lane(st_b, pg_cfg) -> np.ndarray:
+    """Precision escalation for ONE stalled lane's pose graph: the
+    on-device emulated-f64 LM first (pose_graph.optimize_dd), NumPy-f64
+    host LM as the last resort — the same ladder as
+    pose_graph.optimize_chunked. Returns the optimized (F, 4, 4) poses."""
+    from ..models import pose_graph as pg
+
+    res = pg.optimize_dd(st_b, pg_cfg)
+    if not bool(res.converged):
+        res = pg.optimize_host(st_b._replace(poses=res.poses), pg_cfg)
+    return np.asarray(res.poses)
+
+
 def stack_states(states):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
@@ -236,18 +249,15 @@ class BatchedSlamEngine:
             prev_err = errs
         pending = np.asarray(self.state.pending_optimize)
         if pending.any():
-            # f32 device LM stalled for some sequences; f64 host rescue
-            # per stalled sequence (see pose_graph.optimize_host)
-            from ..models import pose_graph as pg
-
+            # f32 device LM stalled for some sequences; per-lane precision
+            # escalation (same ladder as pose_graph.optimize_chunked)
             poses = np.array(self.state.poses)  # mutable copy
             for b in np.where(pending)[0]:
                 st_b = jax.tree.map(lambda x: x[b], self.state.pg)
-                host = pg.optimize_host(
-                    st_b._replace(poses=self.state.poses[b]), cfg
-                )
+                st_b = st_b._replace(poses=self.state.poses[b])
+                lane_poses = _rescue_lane(st_b, cfg)
                 nb = int(self.state.n_poses[b])
-                poses[b, :nb] = np.asarray(host.poses)[:nb]
+                poses[b, :nb] = lane_poses[:nb]
             self.state = self.state._replace(
                 poses=jnp.asarray(poses),
                 pending_optimize=jnp.zeros_like(self.state.pending_optimize),

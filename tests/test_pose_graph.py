@@ -317,3 +317,47 @@ def test_dd_solver_matches_host_f64():
     assert float(res.final_error) <= float(host.final_error) * 1.05, (
         float(res.final_error), float(host.final_error))
     assert ate_dd <= ate_h * 1.10 + 0.05, (ate_dd, ate_h)
+
+
+def test_batched_lane_rescue_matches_host():
+    """The batched (DP) engine's per-lane precision escalation
+    (parallel.batched._rescue_lane) must deliver the same optimum as the
+    f64 host LM on a KITTI-extent stalled lane — the DD tier should
+    converge and the host tier stay untouched as a backstop."""
+    import numpy as np
+
+    from lidar_slam_tpu.config import PoseGraphConfig
+    from lidar_slam_tpu.parallel.batched import _rescue_lane
+    from lidar_slam_tpu.utils.metrics import ate_rmse
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.profile_pose_graph import build_graph
+
+    n = cap = 2048
+    gt, rels, loops = build_graph(n, 12, seed=2)
+    chain = np.zeros((n, 4, 4), np.float64)
+    chain[0] = np.eye(4)
+    for i in range(1, n):
+        chain[i] = chain[i - 1] @ rels[i]
+
+    st = pg.init_state(cap, max(len(loops), 1))
+    odom_rel = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+    odom_rel[1:n] = rels[1:n].astype(np.float32)
+    odom_valid = np.zeros(cap, bool)
+    odom_valid[1:n] = True
+    st = st._replace(
+        poses=jnp.asarray(chain.astype(np.float32)),
+        n_poses=jnp.int32(n),
+        odom_rel=jnp.asarray(odom_rel),
+        odom_valid=jnp.asarray(odom_valid),
+    )
+    for i, j, rel in loops:
+        st = pg.add_loop(st, jnp.int32(i), jnp.int32(j),
+                         jnp.asarray(rel, jnp.float32))
+
+    cfg = PoseGraphConfig()
+    got = _rescue_lane(st, cfg)
+    host = pg.optimize_host(st, cfg)
+    ate_r = ate_rmse(got[:n], gt.astype(np.float32))
+    ate_h = ate_rmse(np.asarray(host.poses[:n]), gt.astype(np.float32))
+    assert ate_r <= ate_h * 1.10 + 0.05, (ate_r, ate_h)
