@@ -150,6 +150,14 @@ class PoseGraphConfig:
     # emulated-f64 LM (pose_graph.optimize_dd, double-single arithmetic)
     # and finally to the NumPy-f64 host backstop.
     solver: str = "woodbury"
+    # emulated-f64 K-solve tier (optimize_dd): 'direct' (default) =
+    # backward-stable DD Cholesky (any conditioning, O((6L)^3) sequential
+    # DD work — loop compaction keeps L small); 'pcg' = DD-precision PCG
+    # with a Jacobi-rescaled lifted f32 Cholesky preconditioner (~1000x
+    # cheaper at engine scale, but currently fails on the ill-scaled K of
+    # a heavily-drifted initial state — optimize_dd retries with 'direct'
+    # from the original poses when it stalls).
+    dd_solve: str = "direct"
     cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
     cg_tolerance: float = 1e-10        # relative to |b|^2
     lambda_init: float = 1e-5          # GTSAM LevenbergMarquardtParams default

@@ -562,43 +562,23 @@ def _woodbury_solve(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
     return y1 - Dinv * B(alpha)
 
 
-def _woodbury_solve_dd(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
-    """The Woodbury step with its K-pipeline in DD (double-single) arithmetic
-    — the ON-DEVICE f64-equivalent backend for KITTI-extent graphs.
+def _dd_prep(state: PoseGraphState, lam, cfg: PoseGraphConfig):
+    """f32 system inputs of the emulated-f64 Woodbury step + current cost.
 
-    Why: K = I + B^T D^-1 B has entries ~1e10 (squared whitened lever arms,
-    |t| ~ 750 m / 5 mrad) with O(1) smallest eigenvalues, so it needs ~1e-11
-    RELATIVE precision to stay positive definite; f32 assembly error (~3e4
-    absolute) makes K32 indefinite and every Cholesky step NaN — measured:
-    the f32 LM accepts ZERO steps at 4,500 poses while this path's first
-    step matches the f64 one (cost 1.9579e9 -> 1.1855e7 vs f64's 1.1855e7
-    on the full-scale test graph;
-    tests/test_pose_graph.py::test_dd_solver_matches_host_f64). TPU has
-    no f64 ALU (the plugin demotes f64 to f32 silently), so extended
-    precision is emulated with f32 pairs (ops/df64.py).
-
-    Everything OUTSIDE the K-pipeline stays f32 (residuals, adjoints,
-    weights, retract) — measured sufficient (variant sweep: f32 residuals +
-    f32 cost + f64-K converges to the f64 optimum).
-
-    COMPILATION CONTRACT: this function must be jitted with XLA's CSE pass
-    disabled (``compiler_options={"xla_disable_hlo_passes": "cse"}``, as
-    :func:`_dd_lm_step` does) or executed eagerly. CSE merges syntactically
-    equal subexpressions across the optimization barriers and re-exposes
-    the error-free-transform identities to later simplification; measured
-    at 4,500 poses: the one-step cost lands at 1.19e7 (the f64 value) with
-    CSE off, 1.19e10 (rejected step) with CSE on, all else equal. Do NOT
-    call it inside lax.while_loop/cond bodies — those compile through the
-    default pass pipeline.
+    MUST be its own XLA program whose outputs are materialized and then
+    fed to :func:`_dd_core` as PARAMETERS. Inside one fused program XLA
+    can rematerialize shared subexpressions per consumer with
+    eps32-different rounding — measured at 4,500 poses: the K assembly and
+    the B/B^T applications saw eps32-DIFFERENT copies of G/X, the Woodbury
+    substitution identity broke, and the step came out 4.7e5x wrong;
+    ``optimization_barrier`` did NOT reliably pin one realization
+    (jax 0.9 / XLA:CPU), and per-jit ``compiler_options`` corrupt the
+    dispatch cache once two such programs coexist. Materializing at a jit
+    boundary is the only contract XLA cannot optimize away: parameters are
+    buffers.
     """
-    from ..ops import df64
-    from ..ops.df64 import DD
-
     F = state.poses.shape[0]
-    L = state.loop_from.shape[0]
-    T = state.poses
     prior_sig, odom_sig, loop_sig = _whiten(cfg)
-
     k = jnp.arange(1, F)
     odom_w = (state.odom_valid[1:] & (k < state.n_poses)).astype(jnp.float32)
     scale = jnp.maximum(state.odom_scale[1:], 1e-12)
@@ -606,33 +586,64 @@ def _woodbury_solve_dd(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
     w_prior = 1.0 / prior_sig
     loop_w = state.loop_valid.astype(jnp.float32)
     w_loop = loop_w[:, None] / loop_sig[None, :]
-
     D = jnp.concatenate([(w_prior**2)[None, :], w_odom**2], axis=0) + lam
     Dinv = 1.0 / D
-
-    G = se3.adjoint(T)                               # (F, 6, 6) f32
-    H = se3.adjoint(se3.inverse(T[state.loop_to]))
+    G = se3.adjoint(state.poses)                     # (F, 6, 6) f32
+    H = se3.adjoint(se3.inverse(state.poses[state.loop_to]))
     lo = jnp.minimum(state.loop_from, state.loop_to)
     hi = jnp.maximum(state.loop_from, state.loop_to)
     sgn = jnp.where(state.loop_to >= state.loop_from, 1.0, -1.0)
     X = sgn[:, None, None] * w_loop[:, :, None] * H  # (L, 6, 6) f32
-    # ONE materialized realization of the shared inputs. Under jit XLA
-    # rematerializes shared subexpressions per fusion context with different
-    # rounding, so the K assembly and the B/B^T applications would see
-    # eps32-DIFFERENT copies of G/X — and the Woodbury substitution needs K
-    # to equal I + B^T D^-1 B for the SAME operator to ~1e-14, else alpha is
-    # O(1) wrong (measured: jitted delta 1e4x off until this barrier).
-    G, X, Dinv, w_odom, w_prior = jax.lax.optimization_barrier(
-        (G, X, Dinv, w_odom, w_prior)
-    )
-
     # loop-l active frame range as a mask (scatter-free: DD scatter-adds
     # would round away the compensation terms)
     f_idx = jnp.arange(F)
-    seg = ((lo[None, :] + 1) <= f_idx[:, None]) & (
-        f_idx[:, None] <= hi[None, :]
-    )                                                # (F, L) bool
-    segf = seg.astype(jnp.float32)
+    segf = (((lo[None, :] + 1) <= f_idx[:, None])
+            & (f_idx[:, None] <= hi[None, :])).astype(jnp.float32)
+    r0 = _residuals_dd0(state, cfg)
+    cost = 0.5 * jnp.sum(r0 * r0)
+    g_diag = jnp.concatenate(
+        [(w_prior * r0[0])[None, :], w_odom * r0[1:F]], axis=0
+    )
+    return r0, cost, g_diag, G, X, Dinv, segf, lo, hi
+
+
+def _dd_core(cfg: PoseGraphConfig, r0, g_diag, G, X, Dinv, segf, lo, hi):
+    """The Woodbury step with its K-pipeline in DD (double-single)
+    arithmetic — the ON-DEVICE f64-equivalent backend for KITTI-extent
+    graphs. Every array input is a materialized parameter from
+    :func:`_dd_prep` (realization-split safety; see its docstring).
+
+    Why DD: K = I + B^T D^-1 B has entries ~1e10 (squared whitened lever
+    arms, |t| ~ 750 m / 5 mrad) with O(1) smallest eigenvalues, so it needs
+    ~1e-11 RELATIVE precision to stay positive definite; f32 assembly error
+    makes K32 indefinite and every Cholesky step NaN — measured: the f32 LM
+    accepts ZERO steps at 4,500 poses while this path converges to 1.0003x
+    the f64 host cost (tests/test_pose_graph.py::
+    test_dd_solver_matches_host_f64). TPU has no f64 ALU (the plugin
+    demotes f64 to f32 silently), so extended precision is emulated with
+    f32 pairs (ops/df64.py).
+
+    The 6Lx6L solve must deliver ~DD-accurate alpha: kappa(K) ~ 1e9 and
+    the back-substitution d = y1 - D^-1 B alpha cancels ~9 orders, so
+    alpha error propagates straight into the step. Two tiers (cfg.dd_solve):
+    'pcg' = DD-precision PCG with a Jacobi-rescaled lifted f32 Cholesky
+    preconditioner (df64.solve_pcg; O(N^3) f32 + O(N^2) DD per iteration);
+    'direct' = backward-stable DD Cholesky (any conditioning, O(N^3)
+    sequential DD). The RHS is deliberately NOT pre-normalized: |bt| ~ 1e14
+    stays far inside f32 range through the substitutions (largest
+    intermediates are Veltkamp splits at 4097*|bt| ~ 1e18 << 3.4e38), and a
+    scale/unscale round-trip is a trap — jnp.exp2 is a polynomial
+    APPROXIMATION whose f32 result at integer arguments can be one ulp off
+    a true power of two (measured: exp2(48) = 2^48*(1+1.2e-7)), so "exact"
+    exp2 scaling silently perturbs alpha by ~eps32 relative — exactly the
+    level that destroys the step (measured: cost-after 1.19e7 -> 9.87e10
+    at 4,500 poses from this alone).
+    """
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    F = G.shape[0]
+    L = X.shape[0]
 
     def BT_dd(z: DD) -> DD:
         """(L, 6) <- X (V_hi - V_lo), V = prefix sums of G z, all DD."""
@@ -662,10 +673,7 @@ def _woodbury_solve_dd(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
                        jnp.swapaxes(G, -1, -2)), axis=2
         )
 
-    r_prior, r_odom, r_loop = r0[0], r0[1:F], r0[F:]
-    g_diag = jnp.concatenate(
-        [(w_prior * r_prior)[None, :], w_odom * r_odom], axis=0
-    )
+    r_loop = r0[F:]
     g = df64.add(df64.dd(g_diag), B_dd(df64.dd(r_loop)))  # (F, 6) DD
 
     # K assembly in DD
@@ -702,26 +710,29 @@ def _woodbury_solve_dd(state: PoseGraphState, cfg: PoseGraphConfig, lam, r0):
     bt = BT_dd(y1)
     btv = DD(bt.hi.reshape(L * 6), bt.lo.reshape(L * 6))
 
-    # Direct DD Cholesky solve. A backward-stable factorization at DD
-    # precision is REQUIRED here: kappa(K) ~ 1e10 and the LM step amplifies
-    # alpha error through the whitened lever arms, so the alpha must be the
-    # exact solution of a ~1e-15-perturbed K. (Measured: PCG at DD precision
-    # leaves ~4e-7 forward error whose direction breaks the step — cost goes
-    # UP; this direct solve matches the f64 reference step at the cost
-    # level.) The RHS is deliberately NOT normalized: |bt| ~ 1e14 stays far
-    # inside f32 range through the substitutions (largest intermediates are
-    # Veltkamp splits at 4097*|bt| ~ 1e18 << 3.4e38), and a scale/unscale
-    # round-trip is a trap — jnp.exp2 is a polynomial APPROXIMATION whose
-    # f32 result at integer arguments can be one ulp off a true power of
-    # two (measured: exp2(48) = 2^48*(1+1.2e-7)), so "exact" exp2 scaling
-    # silently perturbs alpha by ~eps32 relative — exactly the level that
-    # destroys the step (measured: cost-after 1.19e7 -> 9.87e10 at 4,500
-    # poses from this alone).
-    Lfac = df64.cholesky(Kdd)
-    alpha = df64.solve_cholesky(Lfac, btv)
+    if cfg.dd_solve == "pcg":
+        alpha = df64.solve_pcg(Kdd, btv)
+    else:
+        Lfac = df64.cholesky(Kdd)
+        alpha = df64.solve_cholesky(Lfac, btv)
     alpha = DD(alpha.hi.reshape(L, 6), alpha.lo.reshape(L, 6))
     d = df64.sub(y1, df64.mul_f(B_dd(alpha), Dinv))
     return df64.to_f32(d)
+
+
+def _dd_apply(state: PoseGraphState, d, cfg: PoseGraphConfig):
+    """Retract the solved delta through the DD pose chain; returns the
+    materialized new poses (a separate program: the trial cost is then
+    evaluated on the STORED poses by :func:`_dd_cost`)."""
+    from ..ops import df64
+
+    PR, Pt = _chain_dd(state, d)
+    return se3.orthonormalize(se3.from_rt(PR, df64.to_f32(Pt)))
+
+
+def _dd_cost(state: PoseGraphState, cfg: PoseGraphConfig):
+    r = _residuals_dd0(state, cfg)
+    return 0.5 * jnp.sum(r * r)
 
 
 class OptimizeResult(NamedTuple):
@@ -792,9 +803,9 @@ def optimize(
         if cfg.relative_param and cfg.solver == "woodbury":
             # Exact damped-GN step: hand-linearized diagonal + rank-6L
             # structure — no autodiff through the pose-chain scan, no CG.
-            # (The emulated-f64 variant lives in optimize_dd — it needs a
-            # dedicated jit with CSE disabled, which a while_loop body
-            # cannot provide; see _woodbury_solve_dd's contract.)
+            # (The emulated-f64 variant lives in optimize_dd — its phases
+            # must be SEPARATE XLA programs with materialized hand-offs,
+            # which a while_loop body cannot provide; see _dd_prep.)
             r0 = rfun(zero)
             delta = _woodbury_solve(st, cfg, lam, r0)
         else:
@@ -827,31 +838,18 @@ def optimize(
     return OptimizeResult(poses=poses, final_error=cost, iterations=it, converged=done)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg",),
-    # CSE merges syntactically-equal subexpressions ACROSS the DD
-    # optimization barriers, re-exposing the error-free-transform
-    # identities to later passes — measured at 4,500 poses: step cost-after
-    # 1.19e7 (= f64) with CSE off vs 1.19e10 (rejected) with it on. This is
-    # the one program in the framework that trades CSE for correctness.
-    compiler_options={"xla_disable_hlo_passes": "cse"},
-)
-def _dd_lm_step(state: PoseGraphState, lam, cfg: PoseGraphConfig):
-    """One emulated-f64 LM step as a dedicated XLA program: DD residuals ->
-    DD Woodbury solve -> DD retraction -> trial cost. Host drives
-    accept/reject. The retracted chain is rounded to f32 for storage (the
-    state's pose quantization costs ~1e-3 whitened cost — negligible), and
-    the NEXT evaluation re-derives relative transforms from it exactly."""
-    from ..ops import df64
-
-    r0 = _residuals_dd0(state, cfg)
-    cost = 0.5 * jnp.sum(r0 * r0)
-    d = _woodbury_solve_dd(state, cfg, lam, r0)
-    PR, Pt = _chain_dd(state, d)
-    new_poses = se3.orthonormalize(se3.from_rt(PR, df64.to_f32(Pt)))
-    r1 = _residuals_dd0(state._replace(poses=new_poses), cfg)
-    return new_poses, cost, 0.5 * jnp.sum(r1 * r1)
+@functools.lru_cache(maxsize=None)
+def _dd_fns(cfg: PoseGraphConfig, F: int, L: int):
+    """Jitted phases of one emulated-f64 LM iteration, one entry per
+    (config, shape bucket). Four SEPARATE programs — prep, core, apply,
+    cost — with every cross-phase value materialized as a parameter; see
+    _dd_prep's docstring for why this structure is load-bearing."""
+    return (
+        jax.jit(functools.partial(_dd_prep, cfg=cfg)),
+        jax.jit(functools.partial(_dd_core, cfg)),
+        jax.jit(functools.partial(_dd_apply, cfg=cfg)),
+        jax.jit(functools.partial(_dd_cost, cfg=cfg)),
+    )
 
 
 def optimize_dd(
@@ -864,12 +862,14 @@ def optimize_dd(
     host rescue as the primary precision backstop; pose_graph.cpp:147-171 is
     the GTSAM f64 solve this stands in for).
 
-    Host-driven outer loop, one jitted XLA program per LM iteration
-    (:func:`_dd_lm_step`). The loop must live on the host for two reasons:
-    the DD solve requires a jit with CSE disabled (``_woodbury_solve_dd``'s
-    compilation contract), which a ``lax.while_loop`` body cannot request;
-    and this keeps each device dispatch bounded (~1 solve), which the
-    tunneled TPU runtime requires anyway (see :func:`optimize_chunked`).
+    Host-driven outer loop, four jitted XLA programs per LM iteration
+    (prep -> core -> apply -> cost, :func:`_dd_fns`). The loop must live on
+    the host for two reasons: the DD pipeline's shared f32 inputs must be
+    MATERIALIZED between programs (see :func:`_dd_prep` — a fused program
+    rematerializes them per consumer with different rounding and the step
+    breaks), which a ``lax.while_loop`` body cannot provide; and this keeps
+    each device dispatch bounded, which the tunneled TPU runtime requires
+    anyway (see :func:`optimize_chunked`).
 
     Loop factors are COMPACTED to the accepted count (padded to a power of
     two for jit-cache reuse) before dispatch: the DD Cholesky is O((6L)^3)
@@ -901,25 +901,47 @@ def optimize_dd(
         loop_valid=jnp.asarray(lv),
     )
 
-    lam = cfg.lambda_init
-    it = 0
-    conv = False
-    cost = None
-    while it < max_it and lam <= cfg.lambda_max and not conv:
-        new_poses, c0, c1 = _dd_lm_step(cstate, jnp.float32(lam), cfg)
-        if cost is None:
-            cost = float(c0)
-        c1 = float(c1)
-        it += 1
-        if c1 < cost:
-            decrease = cost - c1
-            conv = (decrease < cfg.absolute_error_tol
-                    or decrease < cfg.relative_error_tol * cost)
-            cstate = cstate._replace(poses=new_poses)
-            cost = c1
-            lam = max(lam / cfg.lambda_factor, 1e-12)
-        else:
-            lam = lam * cfg.lambda_factor
+    def lm(cstate, cfg, budget):
+        prep, core, apply_, cost_ = _dd_fns(
+            cfg, cstate.poses.shape[0], cstate.loop_from.shape[0])
+        lam = cfg.lambda_init
+        it = 0
+        conv = False
+        cost = None
+        while it < budget and lam <= cfg.lambda_max and not conv:
+            r0, c0, g_diag, G, X, Dinv, segf, lo, hi = prep(
+                cstate, jnp.float32(lam))
+            if cost is None:
+                cost = float(c0)
+            d = core(r0, g_diag, G, X, Dinv, segf, lo, hi)
+            new_poses = apply_(cstate, d)
+            c1 = float(cost_(cstate._replace(poses=new_poses)))
+            it += 1
+            if c1 < cost:
+                decrease = cost - c1
+                conv = (decrease < cfg.absolute_error_tol
+                        or decrease < cfg.relative_error_tol * cost)
+                cstate = cstate._replace(poses=new_poses)
+                cost = c1
+                lam = max(lam / cfg.lambda_factor, 1e-12)
+            else:
+                lam = lam * cfg.lambda_factor
+        return cstate, cost, it, conv
+
+    orig = cstate
+    cstate, cost, it, conv = lm(cstate, cfg, max_it)
+    if not conv and cfg.dd_solve == "pcg":
+        # The fast K-solve tier (f32-preconditioned DD PCG) can fail when
+        # the SCALED K conditioning overwhelms the lifted f32 factor — and
+        # its garbage-but-cost-decreasing steps can drag the poses into a
+        # basin no exact step escapes (measured: direct-from-pcg-end stalls
+        # at 6.4e8 while direct-from-original reaches 4.12). Retry with the
+        # backward-stable direct DD Cholesky FROM THE ORIGINAL POSES.
+        cstate, cost2, it2, conv = lm(
+            orig, dataclasses.replace(cfg, dd_solve="direct"), max_it
+        )
+        cost = cost2 if cost2 is not None else cost
+        it += it2
     return OptimizeResult(
         poses=cstate.poses,
         final_error=jnp.float32(cost),

@@ -31,7 +31,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1 (Veltkamp constant for f32)
+# 2^12 + 1 (Veltkamp constant for f32). A PYTHON float, deliberately: a
+# module-level jnp array would be one device buffer closed over by every
+# DD program, and jax 0.9's handling of shared hoisted constants corrupts
+# dispatch once several such programs coexist ("Execution supplied N
+# buffers but compiled program expected M"). A weak-typed Python scalar is
+# inlined as a literal into each program instead.
+_SPLIT = 4097.0
 
 # Every intermediate of an error-free transform goes through an
 # optimization barrier: under jit, XLA's algebraic simplifier exploits
@@ -263,6 +269,86 @@ def solve_cholesky(L: DD, b: DD) -> DD:
         return DD(x.hi.at[j].set(xj.hi), x.lo.at[j].set(xj.lo))
 
     return jax.lax.fori_loop(0, N, bwd, dd(jnp.zeros_like(b.hi)))
+
+
+def _safe_div(num: DD, den: DD) -> DD:
+    """num/den, 0 where |den| ~ 0 (PCG after convergence: stall, not NaN)."""
+    ok = jnp.abs(den.hi) > 1e-30
+    d = div(num, DD(jnp.where(ok, den.hi, 1.0), jnp.where(ok, den.lo, 0.0)))
+    return DD(jnp.where(ok, d.hi, 0.0), jnp.where(ok, d.lo, 0.0))
+
+
+def solve_pcg(A: DD, b: DD, iters: int = 40, lift: float = 4e-6) -> DD:
+    """Solve SPD ``A x = b`` to ~1e-8 relative accuracy via DD-precision PCG
+    preconditioned by a Jacobi-rescaled, diagonally-lifted f32 Cholesky —
+    the FAST path for K-matrices whose ill-conditioning is scaling-induced.
+
+    The pose-graph capacitance matrix K = I + B^T D^-1 B spans ~1e10 of
+    dynamic range because loop lever arms scale its translation rows;
+    symmetric Jacobi scaling S K S (S = diag(K)^-1/2) drops kappa 6.2e8 ->
+    9.7e7 on the full-scale KITTI test graph. That is still at the f32
+    Cholesky EDGE (LAPACK f32 rejects it as indefinite), so the factor gets
+    a diagonal lift ``lift`` (>= ~50x the f32 assembly perturbation of the
+    unit-diagonal scaled matrix). Plain iterative refinement then DIVERGES
+    — the f32 triangular-solve arithmetic errs by kappa~ * eps32 ~ 6 > 1
+    per application (measured: fwd err 5e23 after 24 sweeps) — but PCG
+    minimizes over the Krylov space instead of fixed-point iterating, and
+    with all vector algebra (matvec, dots, axpys) in DD it reaches 1e-7
+    relative in ~16 iterations and floors at ~1.4e-8 (measured on the
+    full-scale K; the direct DD Cholesky reaches 3.8e-7). Per iteration:
+    one (N, N) DD matvec + two f32 triangular solves — O(N^2), vs the
+    direct factorization's O(N^3) SEQUENTIAL DD work, ~1000x cheaper at
+    engine scale (N ~ 1e3).
+
+    Degrades loudly, not wrongly: if even the lifted f32 factorization
+    fails, NaN poisons the result and the caller's accept/reject or
+    convergence ladder escalates to :func:`cholesky` +
+    :func:`solve_cholesky` (backward-stable at any conditioning).
+
+    JIT CAVEAT (why this is not yet the default tier): correct when
+    executed EAGERLY (measured 3e-7 forward error on the full-scale K) but
+    a single fused jit program degrades it to ~0.6 relative — the same
+    realization-splitting pathology documented in
+    models/pose_graph._dd_prep, here between the preconditioner build and
+    the DD matvec's view of the scaled matrix. Needs the same
+    materialize-at-jit-boundaries treatment (host-driven PCG loop) before
+    it can replace the direct tier inside _dd_core; until then
+    ``PoseGraphConfig.dd_solve`` defaults to 'direct'."""
+    import jax.scipy.linalg as jsl
+
+    N = A.hi.shape[0]
+    idx = jnp.arange(N)
+    dg = A.hi[idx, idx]
+    s = _ob(1.0 / jnp.sqrt(jnp.maximum(dg, 1e-30)))   # one pinned realization
+    At = mul_f(mul_f(A, s[None, :]), s[:, None])      # S A S in DD
+    bt = mul_f(b, s)
+    P32 = to_f32(At) + lift * jnp.eye(N, dtype=jnp.float32)
+    Lf = jnp.linalg.cholesky(P32)
+
+    def prec(rv):
+        y = jsl.solve_triangular(Lf, rv, lower=True)
+        return jsl.solve_triangular(Lf.T, y, lower=False)
+
+    x0 = dd(jnp.zeros_like(b.hi))
+    r0 = bt
+    z0 = dd(prec(to_f32(r0)))
+    p0 = z0
+    rz0 = dot_small(r0, z0, axis=0)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = matvec(At, p)
+        alpha = _safe_div(rz, dot_small(p, Ap, axis=0))
+        x = add(x, mul(alpha, p))
+        r = sub(r, mul(alpha, Ap))
+        z = dd(prec(to_f32(r)))
+        rz_new = dot_small(r, z, axis=0)
+        beta = _safe_div(rz_new, rz)
+        p = add(z, mul(beta, p))
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rz0))
+    return mul_f(x, s)
 
 
 def selftest() -> float:

@@ -113,3 +113,21 @@ def test_cholesky_solve_ill_conditioned(rng):
     except np.linalg.LinAlgError:
         f32_err = np.inf
     assert np.max(np.abs(x - want)) < f32_err / 100
+
+
+def test_solve_pcg_eager_scaling_induced(rng):
+    """EAGER solve_pcg on a SCALING-INDUCED kappa~1e10 SPD system — the
+    pose-graph K shape: a moderately-conditioned core blown up by row/col
+    scales spanning ~1e5 (lever arms). Jacobi rescaling undoes exactly
+    this, so the f32-preconditioned DD PCG reaches ~1e-7 forward error.
+    Jit execution is NOT covered — see the docstring's jit caveat."""
+    n = 96
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    core = (q * rng.uniform(1.0, 1e3, n)) @ q.T       # kappa ~ 1e3
+    scales = 10.0 ** rng.uniform(0.0, 4.0, n)          # rows span ~1e8 in K
+    K = core * scales[:, None] * scales[None, :]
+    b = rng.normal(0, 1.0, n) * scales
+    want = np.linalg.solve(K, b)
+    assert np.linalg.cond(K) > 1e8                     # genuinely f32-hostile
+    x = val(df64.solve_pcg(from64(K), from64(b)))
+    assert np.abs(x - want).max() / np.abs(want).max() < 1e-5
