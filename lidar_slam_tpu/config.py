@@ -152,11 +152,13 @@ class PoseGraphConfig:
     solver: str = "woodbury"
     # emulated-f64 K-solve tier (optimize_dd): 'direct' (default) =
     # backward-stable DD Cholesky (any conditioning, O((6L)^3) sequential
-    # DD work — loop compaction keeps L small); 'pcg' = DD-precision PCG
-    # with a Jacobi-rescaled lifted f32 Cholesky preconditioner (~1000x
-    # cheaper at engine scale, but currently fails on the ill-scaled K of
-    # a heavily-drifted initial state — optimize_dd retries with 'direct'
-    # from the original poses when it stalls).
+    # DD work — loop compaction keeps L small); 'pcg' = host-driven
+    # f32-preconditioned DD PCG (df64.solve_pcg_staged, O(N^2)/iteration —
+    # ~1000x cheaper at engine scale) whose FORWARD-error floor
+    # (kappa~ * eps_dd ~ 2e-7) is not backward-consistent and breaks the
+    # Woodbury back-substitution at harsh states; optimize_dd retries with
+    # 'direct' from the original poses when it stalls. See
+    # df64.solve_pcg's docstring for the path to making 'pcg' primary.
     dd_solve: str = "direct"
     cg_iterations: int = 120           # PCG budget per LM step (matrix-free J^T J)
     cg_tolerance: float = 1e-10        # relative to |b|^2

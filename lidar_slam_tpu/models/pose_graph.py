@@ -607,78 +607,53 @@ def _dd_prep(state: PoseGraphState, lam, cfg: PoseGraphConfig):
     return r0, cost, g_diag, G, X, Dinv, segf, lo, hi
 
 
-def _dd_core(cfg: PoseGraphConfig, r0, g_diag, G, X, Dinv, segf, lo, hi):
-    """The Woodbury step with its K-pipeline in DD (double-single)
-    arithmetic — the ON-DEVICE f64-equivalent backend for KITTI-extent
-    graphs. Every array input is a materialized parameter from
-    :func:`_dd_prep` (realization-split safety; see its docstring).
+def _dd_BT(z, G, X, lo, hi):
+    """(L, 6) <- X (V_hi - V_lo), V = prefix sums of G z, all DD."""
+    from ..ops import df64
+    from ..ops.df64 import DD
 
-    Why DD: K = I + B^T D^-1 B has entries ~1e10 (squared whitened lever
-    arms, |t| ~ 750 m / 5 mrad) with O(1) smallest eigenvalues, so it needs
-    ~1e-11 RELATIVE precision to stay positive definite; f32 assembly error
-    makes K32 indefinite and every Cholesky step NaN — measured: the f32 LM
-    accepts ZERO steps at 4,500 poses while this path converges to 1.0003x
-    the f64 host cost (tests/test_pose_graph.py::
-    test_dd_solver_matches_host_f64). TPU has no f64 ALU (the plugin
-    demotes f64 to f32 silently), so extended precision is emulated with
-    f32 pairs (ops/df64.py).
+    Gz = df64.dsum(df64.mul_f(DD(z.hi[:, None, :], z.lo[:, None, :]), G),
+                   axis=2)                           # (F, 6)
+    V = df64.cumsum(Gz, axis=0)
+    dV = df64.sub(DD(V.hi[hi], V.lo[hi]), DD(V.hi[lo], V.lo[lo]))
+    return df64.dsum(
+        df64.mul_f(DD(dV.hi[:, None, :], dV.lo[:, None, :]), X), axis=2
+    )
 
-    The 6Lx6L solve must deliver ~DD-accurate alpha: kappa(K) ~ 1e9 and
-    the back-substitution d = y1 - D^-1 B alpha cancels ~9 orders, so
-    alpha error propagates straight into the step. Two tiers (cfg.dd_solve):
-    'pcg' = DD-precision PCG with a Jacobi-rescaled lifted f32 Cholesky
-    preconditioner (df64.solve_pcg; O(N^3) f32 + O(N^2) DD per iteration);
-    'direct' = backward-stable DD Cholesky (any conditioning, O(N^3)
-    sequential DD). The RHS is deliberately NOT pre-normalized: |bt| ~ 1e14
-    stays far inside f32 range through the substitutions (largest
-    intermediates are Veltkamp splits at 4097*|bt| ~ 1e18 << 3.4e38), and a
-    scale/unscale round-trip is a trap — jnp.exp2 is a polynomial
-    APPROXIMATION whose f32 result at integer arguments can be one ulp off
-    a true power of two (measured: exp2(48) = 2^48*(1+1.2e-7)), so "exact"
-    exp2 scaling silently perturbs alpha by ~eps32 relative — exactly the
-    level that destroys the step (measured: cost-after 1.19e7 -> 9.87e10
-    at 4,500 poses from this alone).
-    """
+
+def _dd_B(y, X, segf, G):
+    """(F, 6) <- sum_l over active ranges, DD; A via masked contraction
+    (scatter-free: DD scatter-adds would round away the compensations)."""
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    c = df64.dsum(
+        df64.mul_f(DD(y.hi[:, :, None], y.lo[:, :, None]), X), axis=1
+    )                                                # (L, 6) X^T y
+    A = df64.dsum(
+        df64.mul_f(DD(c.hi[None, :, :], c.lo[None, :, :]),
+                   segf[:, :, None]),
+        axis=1,
+    )                                                # (F, 6) active-range sums
+    return df64.dsum(
+        df64.mul_f(DD(A.hi[:, None, :], A.lo[:, None, :]),
+                   jnp.swapaxes(G, -1, -2)), axis=2
+    )
+
+
+def _dd_system(cfg: PoseGraphConfig, r0, g_diag, G, X, Dinv, segf, lo, hi):
+    """Assemble the Woodbury system in DD: K = I + B^T D^-1 B (via adjoint
+    prefix sums), y1 = -D^-1 g, bt = B^T y1. See _dd_core for the numerics
+    rationale. Returns (Kdd, btv, y1)."""
     from ..ops import df64
     from ..ops.df64 import DD
 
     F = G.shape[0]
     L = X.shape[0]
-
-    def BT_dd(z: DD) -> DD:
-        """(L, 6) <- X (V_hi - V_lo), V = prefix sums of G z, all DD."""
-        Gz = df64.dsum(df64.mul_f(DD(z.hi[:, None, :], z.lo[:, None, :]), G),
-                       axis=2)                       # (F, 6)
-        V = df64.cumsum(Gz, axis=0)
-        Vh = DD(V.hi[hi], V.lo[hi])
-        Vl = DD(V.hi[lo], V.lo[lo])
-        dV = df64.sub(Vh, Vl)                        # (L, 6)
-        return df64.dsum(
-            df64.mul_f(DD(dV.hi[:, None, :], dV.lo[:, None, :]), X), axis=2
-        )
-
-    def B_dd(y: DD) -> DD:
-        """(F, 6) <- sum_l over active ranges, DD; A via masked contraction."""
-        c = df64.dsum(
-            df64.mul_f(DD(y.hi[:, :, None], y.lo[:, :, None]), X), axis=1
-        )                                            # (L, 6) X^T y
-        # A[f] = sum_l seg[f, l] * c_l   (F, 6)
-        A = df64.dsum(
-            df64.mul_f(DD(c.hi[None, :, :], c.lo[None, :, :]),
-                       segf[:, :, None]),
-            axis=1,
-        )
-        return df64.dsum(
-            df64.mul_f(DD(A.hi[:, None, :], A.lo[:, None, :]),
-                       jnp.swapaxes(G, -1, -2)), axis=2
-        )
-
     r_loop = r0[F:]
-    g = df64.add(df64.dd(g_diag), B_dd(df64.dd(r_loop)))  # (F, 6) DD
+    g = df64.add(df64.dd(g_diag), _dd_B(df64.dd(r_loop), X, segf, G))
 
-    # K assembly in DD
     GD = df64.mul_f(df64.dd(G), Dinv[:, None, :])    # G * Dinv (cols j)
-    # GDG[f,i,k] = sum_j GD[f,i,j] G[f,k,j]
     GDG = df64.dsum(
         df64.mul_f(DD(GD.hi[:, :, None, :], GD.lo[:, :, None, :]),
                    G[:, None, :, :]), axis=3
@@ -690,12 +665,10 @@ def _dd_core(cfg: PoseGraphConfig, r0, g_diag, G, X, Dinv, segf, lo, hi):
     valid_pair = (b_i > a_i)[..., None, None]
     Mdd = DD(jnp.where(valid_pair, Mdd.hi, 0.0),
              jnp.where(valid_pair, Mdd.lo, 0.0))     # (L, L, 6, 6)
-    # tmp[l,m,a,c] = sum_b X[l,a,b] M[l,m,b,c]
     tmp = df64.dsum(
         df64.mul_f(DD(Mdd.hi[:, :, None, :, :], Mdd.lo[:, :, None, :, :]),
                    X[:, None, :, :, None]), axis=3
     )                                                # (L, L, 6, 6)
-    # K[l,a,m,d] = sum_c tmp[l,m,a,c] X[m,d,c]
     Kdd = df64.dsum(
         df64.mul_f(DD(tmp.hi[:, :, :, None, :], tmp.lo[:, :, :, None, :]),
                    X[None, :, None, :, :]), axis=4
@@ -705,18 +678,62 @@ def _dd_core(cfg: PoseGraphConfig, r0, g_diag, G, X, Dinv, segf, lo, hi):
     eye = jnp.eye(L * 6, dtype=jnp.float32)
     Kdd = df64.add(Kdd, df64.dd(eye))
 
-    # rhs
     y1 = df64.mul_f(df64.neg(g), Dinv)
-    bt = BT_dd(y1)
+    bt = _dd_BT(y1, G, X, lo, hi)
     btv = DD(bt.hi.reshape(L * 6), bt.lo.reshape(L * 6))
+    return Kdd, btv, y1
 
-    if cfg.dd_solve == "pcg":
-        alpha = df64.solve_pcg(Kdd, btv)
-    else:
-        Lfac = df64.cholesky(Kdd)
-        alpha = df64.solve_cholesky(Lfac, btv)
+
+def _dd_core(cfg: PoseGraphConfig, r0, g_diag, G, X, Dinv, segf, lo, hi):
+    """The DIRECT-tier Woodbury step: system assembly + backward-stable DD
+    Cholesky solve + back-substitution, one program. Every array input is a
+    materialized parameter from :func:`_dd_prep` (realization-split safety;
+    see its docstring).
+
+    Why DD: K = I + B^T D^-1 B has entries ~1e10 (squared whitened lever
+    arms, |t| ~ 750 m / 5 mrad) with O(1) smallest eigenvalues, so it needs
+    ~1e-11 RELATIVE precision to stay positive definite; f32 assembly error
+    makes K32 indefinite and every Cholesky step NaN — measured: the f32 LM
+    accepts ZERO steps at 4,500 poses while this path converges to 1.0003x
+    the f64 host cost (tests/test_pose_graph.py::
+    test_dd_solver_matches_host_f64). TPU has no f64 ALU (the plugin
+    demotes f64 to f32 silently), so extended precision is emulated with
+    f32 pairs (ops/df64.py).
+
+    The 6Lx6L solve must deliver ~DD-accurate alpha: kappa(K) ~ 1e9 and the
+    back-substitution d = y1 - D^-1 B alpha cancels ~9 orders, so alpha
+    error propagates straight into the step. The RHS is deliberately NOT
+    pre-normalized: |bt| ~ 1e14 stays far inside f32 range through the
+    substitutions (largest intermediates are Veltkamp splits at
+    4097*|bt| ~ 1e18 << 3.4e38), and a scale/unscale round-trip is a trap —
+    jnp.exp2 is a polynomial APPROXIMATION whose f32 result at integer
+    arguments can be one ulp off a true power of two (measured:
+    exp2(48) = 2^48*(1+1.2e-7)), so "exact" exp2 scaling silently perturbs
+    alpha by ~eps32 relative — exactly the level that destroys the step
+    (measured: cost-after 1.19e7 -> 9.87e10 at 4,500 poses from this
+    alone).
+    """
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    L = X.shape[0]
+    Kdd, btv, y1 = _dd_system(cfg, r0, g_diag, G, X, Dinv, segf, lo, hi)
+    Lfac = df64.cholesky(Kdd)
+    alpha = df64.solve_cholesky(Lfac, btv)
     alpha = DD(alpha.hi.reshape(L, 6), alpha.lo.reshape(L, 6))
-    d = df64.sub(y1, df64.mul_f(B_dd(alpha), Dinv))
+    d = df64.sub(y1, df64.mul_f(_dd_B(alpha, X, segf, G), Dinv))
+    return df64.to_f32(d)
+
+
+def _dd_fin(cfg: PoseGraphConfig, y1, alpha, G, X, Dinv, segf):
+    """PCG-tier back-substitution d = y1 - D^-1 B alpha from a materialized
+    alpha (solved host-side by df64.solve_pcg_staged)."""
+    from ..ops import df64
+    from ..ops.df64 import DD
+
+    L = X.shape[0]
+    alpha = DD(alpha.hi.reshape(L, 6), alpha.lo.reshape(L, 6))
+    d = df64.sub(y1, df64.mul_f(_dd_B(alpha, X, segf, G), Dinv))
     return df64.to_f32(d)
 
 
@@ -844,12 +861,14 @@ def _dd_fns(cfg: PoseGraphConfig, F: int, L: int):
     (config, shape bucket). Four SEPARATE programs — prep, core, apply,
     cost — with every cross-phase value materialized as a parameter; see
     _dd_prep's docstring for why this structure is load-bearing."""
-    return (
-        jax.jit(functools.partial(_dd_prep, cfg=cfg)),
-        jax.jit(functools.partial(_dd_core, cfg)),
-        jax.jit(functools.partial(_dd_apply, cfg=cfg)),
-        jax.jit(functools.partial(_dd_cost, cfg=cfg)),
-    )
+    return {
+        "prep": jax.jit(functools.partial(_dd_prep, cfg=cfg)),
+        "core": jax.jit(functools.partial(_dd_core, cfg)),
+        "sys": jax.jit(functools.partial(_dd_system, cfg)),
+        "fin": jax.jit(functools.partial(_dd_fin, cfg)),
+        "apply": jax.jit(functools.partial(_dd_apply, cfg=cfg)),
+        "cost": jax.jit(functools.partial(_dd_cost, cfg=cfg)),
+    }
 
 
 def optimize_dd(
@@ -902,20 +921,30 @@ def optimize_dd(
     )
 
     def lm(cstate, cfg, budget):
-        prep, core, apply_, cost_ = _dd_fns(
-            cfg, cstate.poses.shape[0], cstate.loop_from.shape[0])
+        from ..ops import df64
+
+        fns = _dd_fns(cfg, cstate.poses.shape[0], cstate.loop_from.shape[0])
         lam = cfg.lambda_init
         it = 0
         conv = False
         cost = None
         while it < budget and lam <= cfg.lambda_max and not conv:
-            r0, c0, g_diag, G, X, Dinv, segf, lo, hi = prep(
+            r0, c0, g_diag, G, X, Dinv, segf, lo, hi = fns["prep"](
                 cstate, jnp.float32(lam))
             if cost is None:
                 cost = float(c0)
-            d = core(r0, g_diag, G, X, Dinv, segf, lo, hi)
-            new_poses = apply_(cstate, d)
-            c1 = float(cost_(cstate._replace(poses=new_poses)))
+            if cfg.dd_solve == "pcg":
+                # fast tier: system assembly on device, host-driven
+                # f32-preconditioned DD PCG for alpha, back-substitution
+                # on device — every hand-off materialized
+                Kdd, btv, y1 = fns["sys"](r0, g_diag, G, X, Dinv, segf,
+                                          lo, hi)
+                alpha = df64.solve_pcg_staged(Kdd, btv)
+                d = fns["fin"](y1, alpha, G, X, Dinv, segf)
+            else:
+                d = fns["core"](r0, g_diag, G, X, Dinv, segf, lo, hi)
+            new_poses = fns["apply"](cstate, d)
+            c1 = float(fns["cost"](cstate._replace(poses=new_poses)))
             it += 1
             if c1 < cost:
                 decrease = cost - c1

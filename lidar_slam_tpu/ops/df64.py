@@ -305,14 +305,22 @@ def solve_pcg(A: DD, b: DD, iters: int = 40, lift: float = 4e-6) -> DD:
     convergence ladder escalates to :func:`cholesky` +
     :func:`solve_cholesky` (backward-stable at any conditioning).
 
-    JIT CAVEAT (why this is not yet the default tier): correct when
-    executed EAGERLY (measured 3e-7 forward error on the full-scale K) but
-    a single fused jit program degrades it to ~0.6 relative — the same
-    realization-splitting pathology documented in
-    models/pose_graph._dd_prep, here between the preconditioner build and
-    the DD matvec's view of the scaled matrix. Needs the same
-    materialize-at-jit-boundaries treatment (host-driven PCG loop) before
-    it can replace the direct tier inside _dd_core; until then
+    JIT CAVEAT: correct eagerly but a single fused jit degrades it to
+    ~0.6 relative (realization splitting + the broadcast-multiplier
+    miscompile — see solve_pcg_staged, the jit-safe variant).
+
+    WHY THIS IS NOT THE DEFAULT TIER: PCG's error is FORWARD error at the
+    kappa~ * eps_dd floor (~2e-7 relative on the pose-graph K), in an
+    arbitrary direction. The Woodbury consumer computes
+    d = y1 - D^-1 B alpha, a ~9-order cancellation: it survives the direct
+    DD Cholesky's larger-looking error because backward-stable
+    factorization error is CONSISTENT with the system, but PCG's
+    2.5e-7 forward error destroys the step at harsh states (measured:
+    step cost 2.9e11 vs the direct tier's 1.18e7 from the same system).
+    Enabling this tier as default requires outer-system iterative
+    refinement (solve, compute the (D + B B^T) residual in DD, solve the
+    correction) to make the combined error backward-consistent —
+    ~2x the PCG cost, still O(N^2) per LM step. Until then
     ``PoseGraphConfig.dd_solve`` defaults to 'direct'."""
     import jax.scipy.linalg as jsl
 
@@ -349,6 +357,90 @@ def solve_pcg(A: DD, b: DD, iters: int = 40, lift: float = 4e-6) -> DD:
 
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rz0))
     return mul_f(x, s)
+
+
+@__import__("functools").lru_cache(maxsize=None)
+def _pcg_fns(N: int, lift: float):
+    """Jitted phases of the staged PCG (one entry per system size): scale,
+    factor, init, one-iteration, unscale — every cross-phase value is a
+    materialized parameter (see solve_pcg's jit caveat and
+    models/pose_graph._dd_prep for why fused programs break DD algebra)."""
+    import jax.scipy.linalg as jsl
+
+    # The scale factors arrive as FULL-SHAPE (N, N) parameters: XLA:CPU
+    # (jax 0.9) miscompiles error-free transforms whose multiplier is an
+    # in-program BROADCAST — mul_f(A, s[None, :]) under jit loses the whole
+    # compensation channel (measured hi/lo diff 2e-3 vs eager; bit-exact
+    # with materialized full-shape parameters, even nested). The scaling
+    # must stay a true rank-1 row/col scaling tracked at DD precision —
+    # pre-rounding s_i*s_j to f32 would perturb the scaled matrix entrywise
+    # at eps32, the same perturbation that makes the unscaled K indefinite.
+    def _scale(A: DD, b: DD, Sc, Sr, s):
+        return mul_f(mul_f(A, Sc), Sr), mul_f(b, s)
+
+    def _chol(At: DD):
+        return jnp.linalg.cholesky(
+            to_f32(At) + lift * jnp.eye(N, dtype=jnp.float32)
+        )
+
+    def _prec(Lf, rv):
+        y = jsl.solve_triangular(Lf, rv, lower=True)
+        return jsl.solve_triangular(Lf.T, y, lower=False)
+
+    def _init(btS: DD, Lf):
+        r = btS
+        z = dd(_prec(Lf, to_f32(r)))
+        rz = dot_small(r, z, axis=0)
+        x = dd(jnp.zeros_like(btS.hi))
+        return x, r, z, rz
+
+    def _iter(At: DD, Lf, x: DD, r: DD, p: DD, rz: DD):
+        Ap = matvec(At, p)
+        al = _safe_div(rz, dot_small(p, Ap, axis=0))
+        x = add(x, mul(al, p))
+        r = sub(r, mul(al, Ap))
+        z = dd(_prec(Lf, to_f32(r)))
+        rz_new = dot_small(r, z, axis=0)
+        beta = _safe_div(rz_new, rz)
+        p = add(z, mul(beta, p))
+        return x, r, p, rz_new
+
+    def _unscale(x: DD, s):
+        return mul_f(x, s)
+
+    return (jax.jit(_scale), jax.jit(_chol), jax.jit(_init),
+            jax.jit(_iter), jax.jit(_unscale))
+
+
+def solve_pcg_staged(A: DD, b: DD, iters: int = 96, lift: float = 4e-6) -> DD:
+    """Jit-safe :func:`solve_pcg`: the host drives the PCG loop over small
+    jitted phases with materialized hand-offs (same accuracy as the eager
+    path — ~3e-7 forward error on the full-scale pose-graph K; measured
+    identical). Each iteration is one dispatch of O(N^2) work; use from
+    host-driven loops (pose_graph.optimize_dd), not inside jit."""
+    import numpy as np
+
+    N = A.hi.shape[0]
+    scale, chol, init, step, unscale = _pcg_fns(N, float(lift))
+    # Jacobi scale from the f32 diagonal on the HOST — one deterministic
+    # realization — expanded to FULL-SHAPE row/col matrices so no program
+    # contains a broadcast multiplier (see _scale's comment).
+    dg = np.asarray(A.hi)[np.arange(N), np.arange(N)]
+    s_np = (1.0 / np.sqrt(np.maximum(dg, 1e-30))).astype(np.float32)
+    Sc = jnp.asarray(np.ascontiguousarray(np.broadcast_to(s_np[None, :], (N, N))))
+    Sr = jnp.asarray(np.ascontiguousarray(np.broadcast_to(s_np[:, None], (N, N))))
+    s = jnp.asarray(s_np)
+    At, btS = scale(A, b, Sc, Sr, s)
+    Lf = chol(At)
+    x, r, p, rz = init(btS, Lf)
+    rz0 = abs(float(rz.hi))
+    for _ in range(iters):
+        x, r, p, rz = step(At, Lf, x, r, p, rz)
+        # host-side exit on the preconditioned residual norm: each check is
+        # one scalar fetch per iteration (this loop is host-driven anyway)
+        if abs(float(rz.hi)) <= 1e-26 * max(rz0, 1e-30):
+            break
+    return unscale(x, s)
 
 
 def selftest() -> float:
