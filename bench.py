@@ -103,7 +103,21 @@ def main() -> int:
     from lidar_slam_tpu.utils.metrics import ate_rmse
     from lidar_slam_tpu.utils.native import voxel_downsample_host
 
-    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    # The tunneled TPU runtime can wedge at device enumeration for hours
+    # (observed: 8+ h outage); fail loudly instead of hanging the driver.
+    import signal
+
+    def _init_bail(sig, frm):
+        raise TimeoutError(
+            "jax.devices() did not return — TPU tunnel unreachable"
+        )
+
+    signal.signal(signal.SIGALRM, _init_bail)
+    signal.alarm(int(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
+    try:
+        log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    finally:
+        signal.alarm(0)
 
     half = route_half_for(frames)
     # Corridor world: full-density ground/buildings within sensor range of
