@@ -234,22 +234,21 @@ def main() -> int:
         "unit": "scans/s",
         "vs_baseline": round(sps / 200.0, 3),
     }
+    # Accuracy lives NEXT TO speed in the recorded line (fetch watchdogged:
+    # a wedged tunnel must never block the driver's JSON record).
+    def _ate_bail(sig, frm):
+        raise TimeoutError("ATE fetch timed out")
+
+    try:
+        signal.signal(signal.SIGALRM, _ate_bail)
+        signal.alarm(180)
+        rec["ate_m"] = round(float(ate_rmse(eng.trajectory(), gt)), 3)
+        signal.alarm(0)
+    except Exception as e:
+        signal.alarm(0)
+        log(f"ATE fetch for the JSON record failed: {e}")
     if mode == "northstar":
-        # the single-config demo embeds accuracy next to speed; the fetch is
-        # watchdogged so a wedged tunnel can't block the JSON line
-        try:
-            import signal
-
-            def _bail(sig, frm):
-                raise TimeoutError("ATE fetch timed out")
-
-            signal.signal(signal.SIGALRM, _bail)
-            signal.alarm(180)
-            rec["ate_m"] = round(float(ate_rmse(eng.trajectory(), gt)), 3)
-            rec["mode"] = "northstar_reference_fidelity"
-            signal.alarm(0)
-        except Exception as e:
-            log(f"northstar ATE fetch failed: {e}")
+        rec["mode"] = "northstar_reference_fidelity"
     # JSON line FIRST among fetch-heavy output (the driver's record) — the
     # post-run summary below does device->host fetches that can hang on a
     # flaky tunnel.
