@@ -95,6 +95,21 @@ def main() -> int:
         _, idx = jax.lax.top_k(-masked, 6)
         return st._replace(loop_count=st.loop_count + 1), idx
 
+    from lidar_slam_tpu.ops.scan_context import sc_distances_ring_prefiltered
+
+    def make_lvl1p(k):
+        @jd
+        def lvl1p(st, i):
+            q = st.db.last_frame - (i % 7)
+            dist, shift = sc_distances_ring_prefiltered(
+                st.db.desc[q], st.db.desc, st.db.desc_norm, k=k
+            )
+            masked = jnp.where(st.db.in_db, dist, jnp.inf)
+            _, idx = jax.lax.top_k(-masked, 6)
+            return st._replace(loop_count=st.loop_count + 1), idx
+
+        return lvl1p
+
     @jd
     def lvl2(st, i):
         q = st.db.last_frame - (i % 7)
@@ -135,6 +150,9 @@ def main() -> int:
 
     timed("lvl0 donation floor      ", lvl0)
     timed("lvl1 +sc_distances+topk  ", lvl1)
+    # the prefilter trade's COST side (recall side: measure_prefilter_recall)
+    timed("lvl1p prefilter k=128    ", make_lvl1p(128))
+    timed("lvl1p prefilter k=256    ", make_lvl1p(256))
     timed("lvl2 +cand gathers       ", lvl2)
     timed("lvl3 full detect (gated) ", lvl3)
     timed("lvl4 +factor fori_loop   ", lvl4)
