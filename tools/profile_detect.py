@@ -48,17 +48,19 @@ def main() -> int:
         lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=1e-4),
     )
 
-    rng = np.random.default_rng(0)
     state = pipe.init_state(cfg)
-    # populate DB with random descriptors/clouds (distances huge -> no cands)
+    # populate DB with random descriptors/clouds (distances huge -> no cands).
+    # Generate ON DEVICE: host-uploading the multi-GB cloud/normal buffers
+    # rides the tunnel's multi-GB transfer cliff (~12 MB/s -> many minutes of
+    # init before the first measurement).
     db = state.db
-    desc = jnp.asarray(rng.normal(size=(F, 20, 60)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    kd, kc = jax.random.split(key)
+    desc = jax.random.normal(kd, (F, 20, 60), jnp.float32)
     db = db._replace(
         desc=desc,
         desc_norm=jnp.sqrt(jnp.sum(desc * desc, axis=(1, 2))),
-        clouds=jnp.asarray(
-            rng.normal(size=(F, cfg.lc_points, 3)).astype(np.float32) * 30
-        ),
+        clouds=jax.random.normal(kc, (F, cfg.lc_points, 3), jnp.float32) * 30,
         cloud_mask=jnp.ones((F, cfg.lc_points), bool),
         normals=jnp.zeros((F, cfg.lc_points, 3), jnp.float32).at[:, :, 2].set(1.0),
         in_db=jnp.ones((F,), bool),
