@@ -162,12 +162,13 @@ class LoopDetections(NamedTuple):
     icp_fitness: jnp.ndarray  # (M,)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg", "nn1_fn"))
 def detect(
     db: KeyframeDB,
     cfg: LoopClosureConfig = LoopClosureConfig(),
     sc_cfg: ScanContextConfig = ScanContextConfig(),
     expect_query=None,
+    nn1_fn=None,
 ) -> LoopDetections:
     """detect() for the most recently added frame (loop_closure.hpp:66-126).
 
@@ -257,9 +258,15 @@ def detect(
         init_T = jnp.broadcast_to(jnp.eye(4), (M, 4, 4))
 
     def verify(cloud, mask, normals, T0, skip):
+        # nn1_fn: an EXACT correspondence backend (the engine passes the
+        # Pallas VMEM kernel on TPU). Without it the verification ICP paid
+        # the default streamed brute force — 304 ms vs 64 ms per firing
+        # pass at bench shapes, identical lane results
+        # (tools/profile_firing.py); pruned/windowed backends are NOT safe
+        # here (loop candidates sit at arbitrary offsets).
         res = icp_point_to_plane(
             query_cloud, PointCloud(cloud, mask), normals, icp_cfg, T0,
-            inactive=skip,
+            nn1_fn=nn1_fn, inactive=skip,
         )
         return res.transformation, res.converged, res.final_error
 

@@ -441,12 +441,22 @@ def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
         new_poses = jnp.where((idx < n_poses)[:, None, None], res.poses, poses)
         return new_poses, pg_state, n_poses, res.converged
 
+    # Verification ICP gets the EXACT auto backend (Pallas brute force on
+    # TPU, streamed XLA elsewhere) — never the engine's windowed/pruned
+    # odometry backend: loop candidates sit at arbitrary offsets, where a
+    # slab/grid window can miss the true neighbor. Without this the verify
+    # path silently fell back to the streamed default: 304 vs 64 ms per
+    # firing pass at bench shapes, identical lane results
+    # (tools/profile_firing.py).
+    verify_nn1 = _resolve_nn1(config.replace(knn_backend="auto"))
+
     def loop_body(state: SlamState, frame):
         # ``expect_query`` rejects stale queries when the current frame was
         # skipped for low point count (see lc.detect).
         det = lc.detect(
             state.db, config.lc, config.sc,
             expect_query=jnp.asarray(frame, jnp.int32),
+            nn1_fn=verify_nn1,
         )
 
         def add_one(k, pg_state):

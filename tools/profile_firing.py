@@ -91,16 +91,19 @@ def main() -> int:
     )
     query = PointCloud(qp, qm)
 
-    @jax.jit
-    def verify6(cp, cm, cn, jitter):
-        def one(c, m, n):
-            res = icp_point_to_plane(
-                query, PointCloud(c, m), n, icp_cfg,
-                jnp.eye(4, dtype=jnp.float32),
-            )
-            return res.converged, res.final_error, res.num_iterations
+    def make_verify6(nn1_fn):
+        @jax.jit
+        def verify6(cp, cm, cn, jitter):
+            def one(c, m, n):
+                res = icp_point_to_plane(
+                    query, PointCloud(c, m), n, icp_cfg,
+                    jnp.eye(4, dtype=jnp.float32), nn1_fn=nn1_fn,
+                )
+                return res.converged, res.final_error, res.num_iterations
 
-        return jax.vmap(one)(cp + jitter, cm, cn)
+            return jax.vmap(one)(cp + jitter, cm, cn)
+
+        return verify6
 
     def timed(label, fn, *a):
         t0 = time.perf_counter()
@@ -115,10 +118,23 @@ def main() -> int:
         print(f"  {label}: {dt:.2f} ms")
         return out, dt
 
-    out, _ = timed("verify6 (30-iter cap)  ", verify6, cp, cm, cn, jnp.float32(0))
-    conv, err, iters = out
-    print(f"    lanes converged={np.asarray(conv).tolist()} "
-          f"iters={np.asarray(iters).tolist()} err={np.round(np.asarray(err), 4).tolist()}")
+    backends = [("xla-default", None)]
+    try:
+        from lidar_slam_tpu.ops.knn_pallas import nn1_pallas, pallas_supported
+
+        if pallas_supported():
+            backends.append(("pallas", lambda s, t, m: nn1_pallas(s, t, m)))
+    except ImportError:
+        pass
+    for name, nn in backends:
+        out, _ = timed(
+            f"verify6/{name} (30-iter cap)", make_verify6(nn),
+            cp, cm, cn, jnp.float32(0),
+        )
+        conv, err, iters = out
+        print(f"    lanes converged={np.asarray(conv).tolist()} "
+              f"iters={np.asarray(iters).tolist()} "
+              f"err={np.round(np.asarray(err), 4).tolist()}")
 
     # --- 2. in-graph optimize chunk at loop capacity
     pgs = pg.init_state(F, L)
