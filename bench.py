@@ -69,7 +69,14 @@ def main() -> int:
     noloop = os.environ.get("BENCH_NOLOOP", "0") == "1"
     nwin = int(os.environ.get("BENCH_NWIN", 0))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
-    knn_backend = os.environ.get("BENCH_KNN", "auto")
+    # Default odometry NN: the fused slab-match Pallas kernel under
+    # warm start (inter-frame motion is bounded, so the contiguous
+    # x-sorted window contains the true neighbor — measured at full scale:
+    # 107.9 scans/s / ATE 5.90 m vs 99.4 / 6.29 for exact brute force).
+    # Cold-start (northstar mode) keeps the EXACT auto backend.
+    knn_backend = os.environ.get(
+        "BENCH_KNN", "slab_pallas" if warm else "auto"
+    )
     runs = int(os.environ.get("BENCH_RUNS", 2))
     # BENCH_MODE=northstar: the single-config demo — REFERENCE fidelity
     # settings (full-density source, |delta-error| tol 1e-6, 50 iterations,
@@ -199,11 +206,21 @@ def main() -> int:
         else:
             for ds in prepared:
                 eng.push_scan(ds)  # no per-frame device syncs
-        eng.finalize()
+        # Attribution aid: how much of the run is the final optimize +
+        # occupancy rebuild (the push loop above enqueues asynchronously,
+        # so sync FIRST — otherwise finalize would absorb the queued work).
+        np.asarray(eng.state.n_poses)
+        t_fin = time.perf_counter()
+        fin_t: dict = {}
+        eng.finalize(timing=fin_t)
         # HONEST sync: on the tunneled runtime block_until_ready can return
         # before queued work drains (PERF.md gotcha #2); only a device->host
         # fetch of a value produced by the final program reliably waits.
         np.asarray(eng.state.n_poses)
+        log(
+            f"  [finalize: {time.perf_counter() - t_fin:.2f}s "
+            + " ".join(f"{k}={v:.2f}" for k, v in fin_t.items()) + "]"
+        )
         return eng
 
     if resident:
@@ -268,7 +285,8 @@ def main() -> int:
         log(
             f"{frames} scans in {wall:.2f}s -> {sps:.1f} scans/s | "
             f"ATE {ate:.3f} m | loops {m['loop_count']} "
-            f"(dropped {m['loops_dropped']}) | "
+            f"(dropped {m['loops_dropped']}, "
+            f"{m['verify_fired']} firing ticks) | "
             f"mean ICP iters {m['icp_iters'][1:].mean():.1f} | "
             f"mean ICP err {m['icp_error'][1:].mean():.3f}"
         )

@@ -135,6 +135,16 @@ class PoseGraphConfig:
     # accuracy at any inline setting — measured 1,500-frame sweep, ATE
     # 2.161 m at inline 0/1/3/10).
     inline_max_iterations: int = 3
+    # Loop-factor window for the IN-GRAPH optimize-on-find chunk only.
+    # Static shapes pin the Woodbury K-Cholesky to (6*max_loop_factors)^2
+    # per LM iteration regardless of the accepted count; windowing the
+    # inline chunk to the newest W loops makes it (6W)^2 (8x cheaper at
+    # 256 vs the 512 capacity) while finalize still polishes with EVERY
+    # factor. Exact while n_loops <= window (KITTI seq 00 accepts ~150);
+    # past that the inline step ignores the oldest loops — harmless, since
+    # inline accuracy doesn't shape final ATE (measured identical at
+    # inline 0/1/3/10; the finalize polish dominates). 0 = full capacity.
+    inline_loop_window: int = 256
     # Inner linear solver per LM step (relative_param only):
     # 'woodbury' (default) = EXACT damped-GN solve. J^T J + lam I is
     #   diagonal + rank-6L in relative coordinates (prior/odometry rows are

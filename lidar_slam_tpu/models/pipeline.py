@@ -35,6 +35,7 @@ Behavioral parity notes (SURVEY.md quirk list):
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -67,6 +68,9 @@ class SlamState(NamedTuple):
     grid: jnp.ndarray             # (D, D) uint8 occupancy
     occ_dropped: jnp.ndarray      # () int32 — in-range points outside the grid
     loop_count: jnp.ndarray       # () int32
+    verify_fired: jnp.ndarray     # () int32 — ticks whose SC gate passed
+    #   candidates into ICP verification (cost attribution: firing ticks are
+    #   ~15x a non-firing tick's cost at bench shapes, tools/profile_detect)
     pending_optimize: jnp.ndarray # () bool — loop accepted since last optimize
     # per-frame metrics (the reference logs these, slam_node.cpp:169-174)
     icp_error: jnp.ndarray        # (F,)
@@ -193,6 +197,7 @@ def init_state(config: SlamConfig) -> SlamState:
         grid=empty_grid(config.grid),
         occ_dropped=jnp.int32(0),
         loop_count=jnp.int32(0),
+        verify_fired=jnp.int32(0),
         pending_optimize=jnp.bool_(False),
         icp_error=jnp.zeros((F,), jnp.float32),
         icp_iters=jnp.zeros((F,), jnp.int32),
@@ -433,8 +438,14 @@ def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
         # chunk reports converged=False and the caller keeps pending_optimize
         # set so the next cadence tick continues from the updated poses.
         poses, pg_state, n_poses = args
+        # Newest-W loop window: the inline chunk's Woodbury Cholesky runs at
+        # (6W)^2 instead of (6*capacity)^2 — see pg.window_loops.
         res = pg.optimize(
-            pg_state._replace(poses=poses), config.pg,
+            pg.window_loops(
+                pg_state._replace(poses=poses),
+                config.pg.inline_loop_window,
+            ),
+            config.pg,
             max_iterations=config.pg.inline_max_iterations,
         )
         idx = jnp.arange(poses.shape[0])
@@ -472,9 +483,13 @@ def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
             0, det.accepted.shape[0], add_one, state.pg
         )
         n_found = jnp.sum(det.accepted.astype(jnp.int32))
+        # A finite sc_distance survives the candidate mask -> this tick ran
+        # ICP verification (firing ticks are the loop-machinery cost driver).
+        fired = jnp.any(jnp.isfinite(det.sc_distance)).astype(jnp.int32)
         state = state._replace(
             pg=pg_state,
             loop_count=state.loop_count + n_found,
+            verify_fired=state.verify_fired + fired,
             pending_optimize=jnp.logical_or(state.pending_optimize, n_found > 0),
         )
         # Optimize in-graph when a loop was found (slam_node.cpp:112-115).
@@ -534,9 +549,9 @@ def make_loop_fn_split(config: SlamConfig, in_graph_optimize: bool = True):
     input and only the mutated fields are outputs, so nothing multi-GB
     crosses the program boundary in either direction.
 
-    Returns ``fn(state, frame) -> ((pg, poses, loop_count, pending), det)``;
-    stitch with ``state._replace(...)`` on the host (free — it only swaps
-    pytree leaves).
+    Returns ``fn(state, frame) -> ((pg, poses, loop_count, verify_fired,
+    pending), det)``; stitch with ``state._replace(...)`` on the host (free
+    — it only swaps pytree leaves).
     """
     body = _make_loop_body(config, in_graph_optimize)
 
@@ -547,6 +562,7 @@ def make_loop_fn_split(config: SlamConfig, in_graph_optimize: bool = True):
             new_state.pg,
             new_state.poses,
             new_state.loop_count,
+            new_state.verify_fired,
             new_state.pending_optimize,
         ), det
 
@@ -740,12 +756,12 @@ class SlamEngine:
                 and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
-                (pg_s, poses, lc_n, pend), det = self._loop_fn(
+                (pg_s, poses, lc_n, vf_n, pend), det = self._loop_fn(
                     self.state, jnp.int32(self._frame)
                 )
                 self.state = self.state._replace(
                     pg=pg_s, poses=poses, loop_count=lc_n,
-                    pending_optimize=pend,
+                    verify_fired=vf_n, pending_optimize=pend,
                 )
                 if sync_info:
                     acc = np.asarray(det.accepted)
@@ -860,12 +876,12 @@ class SlamEngine:
                 last % cfg.loop_check_every == 0
                 and last > cfg.loop_start_frame
             ):
-                (pg_s, poses, lc_n, pend), _ = self._loop_fn(
+                (pg_s, poses, lc_n, vf_n, pend), _ = self._loop_fn(
                     self.state, jnp.int32(last)
                 )
                 self.state = self.state._replace(
                     pg=pg_s, poses=poses, loop_count=lc_n,
-                    pending_optimize=pend,
+                    verify_fired=vf_n, pending_optimize=pend,
                 )
         self._frame = T
 
@@ -877,12 +893,20 @@ class SlamEngine:
         if self._pending:
             self._dispatch_pending()
 
-    def finalize(self):
+    def finalize(self, timing: Optional[dict] = None):
         """Final optimize to convergence + occupancy rebuild
         (slam_node.cpp:103-108). The optimize runs host-chunked —
         ``inline_max_iterations`` LM iterations per dispatch — so no single
-        program runs unbounded at full scale; the rebuild is one dispatch."""
+        program runs unbounded at full scale; the rebuild is one dispatch.
+
+        ``timing``: optional dict populated with per-stage wall seconds
+        (``flush`` / ``optimize`` / ``rebuild``, each honestly synced)."""
+        t0 = time.perf_counter()
         self.flush()
+        if timing is not None:
+            np.asarray(self.state.n_poses)  # honest sync (PERF.md gotcha #2)
+            timing["flush"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
         res = pg.optimize_chunked(
             self.state.pg._replace(poses=self.state.poses), self.config.pg,
             chunk=self.config.pg.inline_max_iterations,
@@ -895,7 +919,14 @@ class SlamEngine:
         self.state = self.state._replace(
             poses=poses, pending_optimize=jnp.bool_(False)
         )
+        if timing is not None:
+            np.asarray(self.state.n_poses)
+            timing["optimize"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
         self.state = self._finalize_fn(self.state)
+        if timing is not None:
+            np.asarray(self.state.n_poses)
+            timing["rebuild"] = time.perf_counter() - t0
         return res
 
     # -- results -----------------------------------------------------------
@@ -919,6 +950,9 @@ class SlamEngine:
             "icp_converged": np.asarray(self.state.icp_converged[:n]),
             "frame_npts": np.asarray(self.state.frame_npts[:n]),
             "loop_count": int(self.state.loop_count),
+            # loop-detection ticks whose SC gate passed candidates into ICP
+            # verification (firing ticks dominate loop-machinery cost)
+            "verify_fired": int(self.state.verify_fired),
             # accepted loops dropped because max_loop_factors was exhausted
             "loops_dropped": int(self.state.pg.n_loops_dropped),
             # in-range points whose cell fell outside the occupancy grid —

@@ -145,6 +145,39 @@ def add_loop(
     )
 
 
+def window_loops(state: PoseGraphState, window: int) -> PoseGraphState:
+    """View of ``state`` restricted to the NEWEST ``window`` loop factors.
+
+    Static shapes pin the Woodbury solve's K-Cholesky to
+    (6*capacity)^2 per LM iteration regardless of how many loops were
+    actually accepted; the in-graph optimize-on-find chunk
+    (slam_node.cpp:112-115 semantics) uses this view to pay (6*window)^2
+    instead, while finalize keeps optimizing over every factor. Slots are
+    filled in acceptance order, so ``dynamic_slice`` at
+    ``clamp(n_loops - window)`` keeps the most recent loops — the ones
+    correcting CURRENT drift. Exact while ``n_loops <= window``; past that
+    the oldest loops are ignored by the inline step only.
+
+    Returns a read-only view for :func:`optimize` — do not ``add_loop``
+    into it (slot indexing assumes the full capacity array).
+    """
+    cap = state.loop_valid.shape[0]
+    if window <= 0 or window >= cap:
+        return state
+    start = jnp.clip(state.n_loops - window, 0, cap - window)
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, window, axis=0)
+
+    return state._replace(
+        loop_from=sl(state.loop_from),
+        loop_to=sl(state.loop_to),
+        loop_rel=sl(state.loop_rel),
+        loop_valid=sl(state.loop_valid),
+        n_loops=jnp.minimum(state.n_loops, window),
+    )
+
+
 # TPU matmul units ingest bf16 by default; every contraction in the Woodbury
 # algebra must run at true f32 (HIGHEST) — K entries reach ~1e10 from squared
 # whitened lever arms, far beyond bf16's 8-bit mantissa. se3.py pins its own

@@ -250,20 +250,34 @@ def _radius_counts(
     pts_m: jnp.ndarray, radius: float, window: int, chunk: int = 4096,
     ts: int = 256,
 ) -> jnp.ndarray:
-    """Neighbor counts within a scalar ``radius`` (compare + reduce only —
-    no moment matmuls; ~40% of a full moment pass). ``window > 0`` uses the
-    x-slab scan over the x-major-sorted cloud, else full chunked streaming."""
+    """Neighbor counts within a scalar ``radius`` — see :func:`_radius_counts2`."""
+    return _radius_counts2(pts_m, (radius,), window, chunk, ts)[0]
+
+
+def _radius_counts2(
+    pts_m: jnp.ndarray, radii: tuple, window: int, chunk: int = 4096,
+    ts: int = 256,
+) -> tuple:
+    """Neighbor counts within each scalar radius in ``radii``, ONE d2 sweep.
+
+    compare + reduce only — no moment matmuls; ~40% of a full moment pass
+    for the sweep, and the extra radii add just a compare+sum each (the
+    pairwise d2 dominates) — fusing the adaptive estimator's two count
+    probes here saves a full sweep vs calling once per radius.
+    ``window > 0`` uses the x-slab scan over the x-major-sorted cloud, else
+    full chunked streaming."""
     from .grid_nn import _searchsorted_left
 
     N = pts_m.shape[0]
-    r2 = jnp.asarray(radius * radius, pts_m.dtype)
+    r2s = [jnp.asarray(r * r, pts_m.dtype) for r in radii]
+    r_max_s = max(float(r) for r in radii)
     if 0 < window < N:
         ts = min(ts, N)
         while N % ts:
             ts -= 1
         x_mono = jax.lax.cummax(pts_m[:, 0])
         tiles = pts_m.reshape(N // ts, ts, 3)
-        tile_min_x = jnp.min(tiles[:, :, 0], axis=1) - radius
+        tile_min_x = jnp.min(tiles[:, :, 0], axis=1) - r_max_s
         starts = _searchsorted_left(x_mono, tile_min_x).astype(jnp.int32)
         starts = jnp.clip(starts, 0, max(N - window, 0))
 
@@ -275,27 +289,31 @@ def _radius_counts(
                 + (tile[:, 1:2] - win[None, :, 1].reshape(1, -1)) ** 2
                 + (tile[:, 2:3] - win[None, :, 2].reshape(1, -1)) ** 2
             )
-            return carry, jnp.sum((d2 < r2).astype(pts_m.dtype), axis=1)
+            return carry, tuple(
+                jnp.sum((d2 < r2).astype(pts_m.dtype), axis=1) for r2 in r2s
+            )
 
-        _, cnt = jax.lax.scan(per_tile, None, (tiles, starts))
-        return cnt.reshape(N)
+        _, cnts = jax.lax.scan(per_tile, None, (tiles, starts))
+        return tuple(c.reshape(N) for c in cnts)
 
     c = min(chunk, N)
     while N % c:
         c -= 1
 
-    def body(acc, tgt_c):
+    def body(accs, tgt_c):
         d2 = (
             (pts_m[:, 0:1] - tgt_c[None, :, 0].reshape(1, -1)) ** 2
             + (pts_m[:, 1:2] - tgt_c[None, :, 1].reshape(1, -1)) ** 2
             + (pts_m[:, 2:3] - tgt_c[None, :, 2].reshape(1, -1)) ** 2
         )
-        return acc + jnp.sum((d2 < r2).astype(pts_m.dtype), axis=1), None
+        return tuple(
+            acc + jnp.sum((d2 < r2).astype(pts_m.dtype), axis=1)
+            for acc, r2 in zip(accs, r2s)
+        ), None
 
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((N,), pts_m.dtype), pts_m.reshape(N // c, c, 3)
-    )
-    return acc
+    acc0 = tuple(jnp.zeros((N,), pts_m.dtype) for _ in r2s)
+    accs, _ = jax.lax.scan(body, acc0, pts_m.reshape(N // c, c, 3))
+    return accs
 
 
 @functools.partial(
@@ -356,8 +374,11 @@ def estimate_normals_adaptive(
         return jnp.where(mask[:, None], n, up)
     pts_m = jnp.where(mask[:, None], pts, 1.0e6)
     r_lo, r_hi = float(r_probe[0]), float(r_probe[1])
-    c_lo = jnp.maximum(_radius_counts(pts_m, r_lo, window, chunk), 2.0)
-    c_hi = jnp.maximum(_radius_counts(pts_m, r_hi, window, chunk), 2.0)
+    # both probe radii in ONE pairwise-d2 sweep (the d2 dominates; a second
+    # radius adds only a compare+sum) — saves a full count pass vs two calls
+    c_lo, c_hi = _radius_counts2(pts_m, (r_lo, r_hi), window, chunk)
+    c_lo = jnp.maximum(c_lo, 2.0)
+    c_hi = jnp.maximum(c_hi, 2.0)
     dim = jnp.clip(
         jnp.log(c_hi / c_lo) / jnp.log(r_hi / r_lo), 0.7, 2.5
     )

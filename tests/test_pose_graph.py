@@ -128,6 +128,44 @@ def test_loop_capacity_saturation_counted(rng):
     assert int(st.n_loops_dropped) == 2
 
 
+def test_window_loops_view(rng):
+    """window_loops keeps the NEWEST loops; optimizing the windowed view
+    equals optimizing the full state while n_loops <= window."""
+    state, gt = build_chain(
+        rng, 12, noise_rot=0.01, noise_trans=0.05, max_frames=16, max_loops=8
+    )
+    for k in range(3):
+        rel = se3.compose(se3.inverse(gt[k]), gt[k + 8])
+        state = pg.add_loop(state, jnp.int32(k), jnp.int32(k + 8), rel)
+    # window larger than accepted count: identical factors survive
+    w = pg.window_loops(state, 4)
+    assert w.loop_valid.shape == (4,)
+    np.testing.assert_array_equal(
+        np.asarray(w.loop_from[:3]), np.asarray(state.loop_from[:3])
+    )
+    assert int(jnp.sum(w.loop_valid)) == 3
+    cfg = PoseGraphConfig(max_iterations=12)
+    r_full = pg.optimize(state, cfg)
+    r_win = pg.optimize(w, cfg)
+    # compare VALID poses only — rows past n_poses are padding that the
+    # relative-param prefix scan rebuilds from the chain tail (callers mask
+    # them with idx < n_poses), and their drift depends on the LM iteration
+    # count, which may differ by a ULP-level accept/reject flip
+    n = int(state.n_poses)
+    np.testing.assert_allclose(
+        np.asarray(r_win.poses[:n]), np.asarray(r_full.poses[:n]), atol=1e-4
+    )
+    # window SMALLER than accepted count: newest survive, oldest dropped
+    w2 = pg.window_loops(state, 2)
+    np.testing.assert_array_equal(
+        np.asarray(w2.loop_from), np.asarray(state.loop_from[1:3])
+    )
+    assert int(w2.n_loops) == 2
+    # window 0 / >= capacity: full state passes through untouched
+    assert pg.window_loops(state, 0) is state
+    assert pg.window_loops(state, 8) is state
+
+
 def test_lm_kitti_scale_chain_with_loops():
     """KITTI-scale graph (1,536 poses, 12 loops): LM must cut the drifted
     chain's ATE by >= 4x and drive the whitened error from ~6e6 to O(1).

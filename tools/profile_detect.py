@@ -150,6 +150,40 @@ def main() -> int:
         st, det = loop_fn(st, jnp.int32(-5) - i)
         return st, det.accepted
 
+    # lvl6/7: the ENGINE's actual tick path — make_loop_fn_split (no
+    # donation, multi-GB state as plain inputs, small outputs). lvl6 =
+    # non-firing (expect_query mismatch rejects all candidates); lvl7 =
+    # FIRING worst case: the query descriptor matches 6 gap-satisfying DB
+    # rows, but the random clouds never converge, so the vmapped verify
+    # runs its full 30-iteration budget + the in-graph optimize cond fires.
+    split_fn = pipe.make_loop_fn_split(cfg)
+
+    def lvl6(st, i):
+        (pg_s, poses, lc_n, vf_n, pend), det = split_fn(st, jnp.int32(-5) - i)
+        return st._replace(pg=pg_s, poses=poses, loop_count=lc_n,
+                           verify_fired=vf_n, pending_optimize=pend), det.accepted
+
+    def make_firing_state(st):
+        d0 = st.db.desc[0]
+        desc2 = st.db.desc.at[F - 1].set(d0)
+        for r in range(1, 7):
+            desc2 = desc2.at[r * 100].set(
+                d0 + 0.001 * st.db.desc[r * 100]
+            )
+        db2 = st.db._replace(
+            desc=desc2,
+            desc_norm=jnp.sqrt(jnp.sum(desc2 * desc2, axis=(1, 2))),
+        )
+        return st._replace(db=db2)
+
+    def lvl7(st, i):
+        # vary poses per rep — identical dispatches are served from the
+        # tunnel runtime's cache and would time as ~0
+        st = st._replace(poses=st.poses + (i.astype(jnp.float32) * 1e-6))
+        (pg_s, poses, lc_n, vf_n, pend), det = split_fn(st, jnp.int32(F - 1))
+        return st._replace(pg=pg_s, poses=poses, loop_count=lc_n,
+                           verify_fired=vf_n, pending_optimize=pend), det.accepted
+
     timed("lvl0 donation floor      ", lvl0)
     timed("lvl1 +sc_distances+topk  ", lvl1)
     # the prefilter trade's COST side (recall side: measure_prefilter_recall)
@@ -159,6 +193,10 @@ def main() -> int:
     timed("lvl3 full detect (gated) ", lvl3)
     timed("lvl4 +factor fori_loop   ", lvl4)
     timed("lvl5 full loop_fn        ", lvl5)
+    timed("lvl6 split tick, no cands", lvl6)
+    state = make_firing_state(state)
+    np.asarray(state.db.desc_norm[0])
+    timed("lvl7 split tick, FIRING  ", lvl7)
     return 0
 
 
