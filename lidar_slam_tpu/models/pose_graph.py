@@ -904,6 +904,40 @@ def _dd_fns(cfg: PoseGraphConfig, F: int, L: int):
     }
 
 
+def compact_loops(state: PoseGraphState) -> PoseGraphState:
+    """HOST-side loop-factor compaction to the accepted count, padded to a
+    power of two for jit-cache reuse.
+
+    Usable only from host-driven paths (it fetches ``loop_valid``). Every
+    optimizer's per-iteration cost scales with the loop axis — K assembly
+    gathers O(L^2) 6x6 blocks and the K-Cholesky is O((6L)^3) — so solving
+    at the 512 CAPACITY wastes ~10-4000x the work of the ~tens-to-hundreds
+    of real loops. The in-graph (jit) analog with static shapes is
+    :func:`window_loops`.
+    """
+    import numpy as np
+
+    valid = np.asarray(state.loop_valid)
+    sel = np.flatnonzero(valid)
+    Lc = max(1, 1 << (max(len(sel), 1) - 1).bit_length())
+    if Lc >= valid.shape[0]:
+        return state
+    pad = Lc - len(sel)
+    lf = np.concatenate([np.asarray(state.loop_from)[sel], np.zeros(pad, np.int32)])
+    lt = np.concatenate([np.asarray(state.loop_to)[sel], np.zeros(pad, np.int32)])
+    lr = np.concatenate(
+        [np.asarray(state.loop_rel)[sel],
+         np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+    lv = np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)])
+    return state._replace(
+        loop_from=jnp.asarray(lf, jnp.int32),
+        loop_to=jnp.asarray(lt, jnp.int32),
+        loop_rel=jnp.asarray(lr, jnp.float32),
+        loop_valid=jnp.asarray(lv),
+        n_loops=jnp.minimum(state.n_loops, jnp.int32(Lc)),
+    )
+
+
 def optimize_dd(
     state: PoseGraphState,
     cfg: PoseGraphConfig = PoseGraphConfig(),
@@ -929,29 +963,11 @@ def optimize_dd(
     work of the ~tens of real loops (same reasoning as optimize_host's
     compaction).
     """
-    import numpy as np
-
     max_it = cfg.max_iterations if max_iterations is None else max_iterations
     if resume is not None:
         state = state._replace(poses=resume.poses)
 
-    # host-side loop compaction (shapes are dynamic here, static per bucket)
-    valid = np.asarray(state.loop_valid)
-    sel = np.flatnonzero(valid)
-    Lc = max(1, 1 << (max(len(sel), 1) - 1).bit_length())
-    pad = Lc - len(sel)
-    lf = np.concatenate([np.asarray(state.loop_from)[sel], np.zeros(pad, np.int32)])
-    lt = np.concatenate([np.asarray(state.loop_to)[sel], np.zeros(pad, np.int32)])
-    lr = np.concatenate(
-        [np.asarray(state.loop_rel)[sel],
-         np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
-    lv = np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)])
-    cstate = state._replace(
-        loop_from=jnp.asarray(lf, jnp.int32),
-        loop_to=jnp.asarray(lt, jnp.int32),
-        loop_rel=jnp.asarray(lr, jnp.float32),
-        loop_valid=jnp.asarray(lv),
-    )
+    cstate = compact_loops(state)
 
     def lm(cstate, cfg, budget):
         from ..ops import df64
@@ -1216,6 +1232,12 @@ def optimize_chunked(
     as hung. GTSAM (pose_graph.cpp:147-160) iterates on the host for the
     same effect.
     """
+    # Host-driven path: compact loop factors to the accepted count before
+    # the f32 chunks too (optimize_dd/optimize_host already did) — the
+    # Woodbury K assembly gathers O(L^2) blocks and Cholesky-factors
+    # (6L)^2 at the CAPACITY otherwise (measured: 4.8 s of each full-scale
+    # bench run at L=512 with 148 accepted loops).
+    state = compact_loops(state)
     res = None
     total_it = 0
     prev_err = float("inf")

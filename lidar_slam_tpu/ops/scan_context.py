@@ -46,9 +46,34 @@ def scan_context(
     sector = jnp.clip((ang / sector_size).astype(jnp.int32), 0, S - 1)
     bin_id = jnp.where(valid, ring * S + sector, R * S)  # dump slot for invalid
 
-    desc = jnp.full((R * S + 1,), _NEG, pts.dtype).at[bin_id].max(
-        jnp.where(valid, z, _NEG)
-    )[: R * S]
+    # Tiled masked-max instead of scatter-max: XLA's TPU scatter serializes
+    # per element. A scan over point tiles computes each tile's (T, R*S)
+    # one-hot compare + max-reduce on the VPU — identical semantics, no
+    # serialized writes. Measured at N=32k on v5e: 0.54 ms vs 0.75 ms
+    # scatter-max (T=2048 and T=8192 tie; T=256 is scan-overhead bound at
+    # 8 ms, and the single fused (N, C) reduce is equally bad).
+    C = R * S
+    zval = jnp.where(valid, z, _NEG)
+    N = bin_id.shape[0]
+    T = min(2048, N)
+    pad = (-N) % T
+    if pad:
+        bin_id = jnp.concatenate([bin_id, jnp.full((pad,), C, jnp.int32)])
+        zval = jnp.concatenate([zval, jnp.full((pad,), _NEG, zval.dtype)])
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+    def tile_max(acc, inp):
+        b, zv = inp  # (T,), (T,)
+        m = b[:, None] == lanes  # (T, C); the C dump bin matches no lane
+        return jnp.maximum(
+            acc, jnp.max(jnp.where(m, zv[:, None], _NEG), axis=0)
+        ), None
+
+    desc, _ = jax.lax.scan(
+        tile_max,
+        jnp.full((C,), _NEG, pts.dtype),
+        (bin_id.reshape(-1, T), zval.reshape(-1, T)),
+    )
     # Empty bins -> 0; reference treats any value < -1000 as empty
     # (scan_context.hpp:75-81).
     desc = jnp.where(desc < -1000.0, 0.0, desc)

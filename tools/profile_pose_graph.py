@@ -69,6 +69,10 @@ def main() -> int:
     ap.add_argument("--poses", type=int, default=4500)
     ap.add_argument("--cap", type=int, default=4608)
     ap.add_argument("--loops", type=int, default=20)
+    # loop CAPACITY (the engine runs 512 with ~150 accepted — the gap is
+    # what compact_loops removes)
+    ap.add_argument("--loop-cap", type=int, default=0)
+    ap.add_argument("--dd", default="direct", choices=["direct", "pcg"])
     args = ap.parse_args()
 
     import jax
@@ -90,7 +94,7 @@ def main() -> int:
     ate0 = ate_rmse(chain.astype(np.float32), gt.astype(np.float32))
     print(f"poses={n} loops={len(loops)} chained-odometry ATE {ate0:.3f} m")
 
-    st = pg.init_state(cap, max(len(loops), 1))
+    st = pg.init_state(cap, args.loop_cap or max(len(loops), 1))
     poses_f = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
     poses_f[:n] = chain.astype(np.float32)
     odom_rel = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
@@ -109,7 +113,7 @@ def main() -> int:
     # host-chunked: bounded LM per dispatch (an unbounded full-scale first
     # correction runs minutes inside one program and the tunneled TPU runtime
     # kills the worker as hung)
-    cfg = PoseGraphConfig()
+    cfg = PoseGraphConfig(dd_solve=args.dd)
     t0 = time.perf_counter()
     res = pg.optimize_chunked(st, cfg, chunk=cfg.inline_max_iterations)
     np.asarray(res.poses)
