@@ -169,6 +169,7 @@ def detect(
     sc_cfg: ScanContextConfig = ScanContextConfig(),
     expect_query=None,
     nn1_fn=None,
+    query=None,
 ) -> LoopDetections:
     """detect() for the most recently added frame (loop_closure.hpp:66-126).
 
@@ -180,10 +181,20 @@ def detect(
     loops the earlier pass already accepted. The reference returns early on
     skipped frames, so detection never re-runs for an old query
     (slam_node.cpp:125-130, 159-167).
+
+    ``query``: optional traced frame index to query INSTEAD of
+    ``db.last_frame``. Lets a multi-tick program run several cadence
+    queries after one block of steps: the candidate mask is one-sided
+    (candidates strictly older than the query by >= frame_gap), so frames
+    added AFTER the query frame can never enter its candidate set and a
+    bunched query returns exactly what it would have at its own tick. A
+    query frame that was skipped (never addFrame'd) rejects everything
+    via ``in_db`` — the same guard ``expect_query`` provides for the
+    query-the-head form.
     """
     F = db.desc.shape[0]
     K = cfg.max_candidates
-    q = db.last_frame
+    q = db.last_frame if query is None else jnp.asarray(query, jnp.int32)
     q_safe = jnp.maximum(q, 0)
 
     if cfg.ring_key_prefilter > 0:
@@ -205,6 +216,10 @@ def detect(
         & (dist < cfg.sc_distance_threshold)
         & (q >= 0)
     )
+    if query is not None:
+        # explicit-query form: the query itself must have been addFrame'd
+        # (skipped frames reject everything, matching expect_query below)
+        cand_ok = cand_ok & db.in_db[q_safe]
     if expect_query is not None:
         cand_ok = cand_ok & (q == jnp.asarray(expect_query, jnp.int32))
     # Verify-until-accepted (loop_closure.hpp:96-123): the reference walks

@@ -462,12 +462,13 @@ def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
     verify_nn1 = _resolve_nn1(config.replace(knn_backend="auto"))
 
     def loop_body(state: SlamState, frame):
-        # ``expect_query`` rejects stale queries when the current frame was
-        # skipped for low point count (see lc.detect).
+        # Explicit-query form: queries ``frame`` even when the DB head has
+        # advanced past it (multi-tick bunching) and rejects everything when
+        # ``frame`` was skipped for low point count (see lc.detect).
         det = lc.detect(
             state.db, config.lc, config.sc,
-            expect_query=jnp.asarray(frame, jnp.int32),
             nn1_fn=verify_nn1,
+            query=jnp.asarray(frame, jnp.int32),
         )
 
         def add_one(k, pg_state):
@@ -569,6 +570,53 @@ def make_loop_fn_split(config: SlamConfig, in_graph_optimize: bool = True):
     return loop_fn_split
 
 
+def make_multi_tick_fn(config: SlamConfig, in_graph_optimize: bool = True):
+    """Several loop-cadence ticks in ONE dispatch (split-style outputs).
+
+    With ``dispatch_block`` > ``loop_check_every`` several cadence frames
+    fall inside one block; running their queries bunched after the block is
+    DETECTION-EXACT (lc.detect's explicit-query form: the candidate mask is
+    one-sided in frame index, verification ICP reads only stored clouds —
+    never poses) and replaces ``n_ticks`` tick dispatches with one. Each
+    dispatch costs a blocking ~10-20 ms RPC over the TPU tunnel, which at
+    full scale had become the dominant non-compute cost.
+
+    Pass ``frames`` of a FIXED length (the jit specializes on it) with -1
+    for unused slots (boundary blocks) — a -1 query rejects every candidate.
+
+    Returns ``fn(state, frames) -> (pg, poses, loop_count, verify_fired,
+    pending)``; stitch with ``state._replace`` on the host. Only the small
+    mutated arrays cross the program boundary (see make_loop_fn_split).
+    """
+    body = _make_loop_body(config, in_graph_optimize)
+
+    @jax.jit
+    def multi_tick_fn(state: SlamState, frames):
+        # Scan carry = only the small mutated fields; the multi-GB DB rides
+        # as a closed-over loop invariant (a full-state carry would make XLA
+        # thread GB-scale pass-through buffers through the loop).
+        def tick(small, f):
+            pg_s, poses, lc_n, vf_n, pend = small
+            st = state._replace(
+                pg=pg_s, poses=poses, loop_count=lc_n,
+                verify_fired=vf_n, pending_optimize=pend,
+            )
+            st, _ = body(st, f)
+            return (
+                st.pg, st.poses, st.loop_count, st.verify_fired,
+                st.pending_optimize,
+            ), ()
+
+        init = (
+            state.pg, state.poses, state.loop_count, state.verify_fired,
+            state.pending_optimize,
+        )
+        out, _ = jax.lax.scan(tick, init, frames.astype(jnp.int32))
+        return out
+
+    return multi_tick_fn
+
+
 def make_optimize_fn(config: SlamConfig):
     """Pose-graph optimization (run_pose_graph_optimization, slam_node.cpp:177-185).
 
@@ -650,12 +698,22 @@ class SlamEngine:
         self._optimize_fn = make_optimize_fn(config)
         self._finalize_fn = make_finalize_fn(config)
         self._block = max(config.dispatch_block, 0)
+        self._n_ticks = 1
+        self._multi_tick_fn = None
         if self._block > 1:
-            if config.loop_check_every % self._block != 0:
+            cad = config.loop_check_every
+            if self._block % cad == 0:
+                # block SPANS several cadence periods: run the covered
+                # queries bunched in one multi-tick dispatch after each
+                # block (detection-exact — see make_multi_tick_fn)
+                self._n_ticks = self._block // cad
+                if self._n_ticks > 1:
+                    self._multi_tick_fn = make_multi_tick_fn(config)
+            elif cad % self._block != 0:
                 raise ValueError(
-                    f"dispatch_block={self._block} must divide "
-                    f"loop_check_every={config.loop_check_every} so loop "
-                    "detection stays on the reference cadence"
+                    f"dispatch_block={self._block} must divide or be a "
+                    f"multiple of loop_check_every={cad} so loop detection "
+                    "stays on the reference cadence"
                 )
             self._block_fn = make_block_step_fn(config, self._block)
         self._pending: list = []  # buffered (raw, count[, normals]) tuples
@@ -751,8 +809,12 @@ class SlamEngine:
                     self.state, raw, count, jnp.int32(self._frame), **kw
                 )
             cfg = self.config
+            # (multi-tick engines run their bunched ticks inside
+            # _dispatch_pending; sync_info detection dicts are only
+            # available at block <= cadence)
             if (
-                not self._pending
+                self._n_ticks == 1
+                and not self._pending
                 and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
@@ -774,9 +836,44 @@ class SlamEngine:
         self._frame += 1
         return info
 
+    def _run_ticks(self, lo: int, hi: int) -> None:
+        """Run every loop-cadence tick whose frame falls in [lo, hi].
+
+        One multi-tick dispatch when the engine was built with
+        ``dispatch_block`` spanning several cadence periods, else one split
+        tick per frame (at block <= cadence the range holds at most one)."""
+        cfg = self.config
+        cad = cfg.loop_check_every
+        lo = max(lo, cfg.loop_start_frame + 1)
+        start = -(-lo // cad) * cad  # first cadence frame >= lo
+        frames = list(range(start, hi + 1, cad))
+        if not frames:
+            return
+        if self._multi_tick_fn is not None:
+            padded = frames + [-1] * (self._n_ticks - len(frames))
+            out = self._multi_tick_fn(
+                self.state, jnp.asarray(padded[: self._n_ticks], jnp.int32)
+            )
+            pg_s, poses, lc_n, vf_n, pend = out
+            self.state = self.state._replace(
+                pg=pg_s, poses=poses, loop_count=lc_n,
+                verify_fired=vf_n, pending_optimize=pend,
+            )
+        else:
+            for fr in frames:
+                (pg_s, poses, lc_n, vf_n, pend), _ = self._loop_fn(
+                    self.state, jnp.int32(fr)
+                )
+                self.state = self.state._replace(
+                    pg=pg_s, poses=poses, loop_count=lc_n,
+                    verify_fired=vf_n, pending_optimize=pend,
+                )
+
     def _dispatch_pending(self) -> None:
         """Run the buffered scans: one block dispatch when full, per-scan
-        steps for a partial tail (end of dataset / pre-flush)."""
+        steps for a partial tail (end of dataset / pre-flush). With
+        multi-tick blocks (dispatch_block > loop_check_every) the covered
+        cadence ticks run here, right after the block."""
         if not self._pending:
             return
         n = len(self._pending)
@@ -802,6 +899,8 @@ class SlamEngine:
                     jnp.int32(frame0 + k), **kw
                 )
         self._pending.clear()
+        if self._n_ticks > 1:
+            self._run_ticks(frame0, frame0 + n - 1)
 
     # -- resident-scan execution (transfer-free steady state) ---------------
 
@@ -854,13 +953,13 @@ class SlamEngine:
             raise ValueError("call preload(scans) first")
         scans, counts = self._resident
         T = int(scans.shape[0])
-        cfg = self.config
         if self._frame == 0 and T > 0:
             self.state = self._init_fn(self.state, scans[0], counts[0])
             self._frame = 1
         B = self._block if self._block > 1 else 1
         f = self._frame
         while f < T:
+            lo = f
             if B > 1 and f + B <= T:
                 self.state = self._resident_block_fn(
                     self.state, scans, counts, jnp.int32(f)
@@ -871,18 +970,7 @@ class SlamEngine:
                     self.state, scans[f], counts[f], jnp.int32(f)
                 )
                 f += 1
-            last = f - 1
-            if (
-                last % cfg.loop_check_every == 0
-                and last > cfg.loop_start_frame
-            ):
-                (pg_s, poses, lc_n, vf_n, pend), _ = self._loop_fn(
-                    self.state, jnp.int32(last)
-                )
-                self.state = self.state._replace(
-                    pg=pg_s, poses=poses, loop_count=lc_n,
-                    verify_fired=vf_n, pending_optimize=pend,
-                )
+            self._run_ticks(lo, f - 1)
         self._frame = T
 
     def flush(self) -> None:
