@@ -28,14 +28,30 @@ Environment knobs:
                                  in f64; with the constant-velocity warm
                                  start 3e-4 converges in ~2.6 iterations at
                                  f32 with IDENTICAL ATE to 1e-4)
-  BENCH_BLOCK    (default 10)    scans per device dispatch (lax.scan block)
+  BENCH_BLOCK    (default 50)    scans per device dispatch (lax.scan block;
+                                 spans 5 loop-closure cadence periods — the
+                                 covered ticks run bunched after the block,
+                                 detection-identical to block=10, measured)
   BENCH_NOLOOP   (default 0)     1 = disable the loop-closure cadence
                                  (odometry-only ablation for profiling)
   BENCH_WARM     (default 1)     constant-velocity ICP warm start
   BENCH_KNN      (default auto)  1-NN backend
   BENCH_HOST_VOX (default 1)     voxelize on host (C++ loader path)
+  BENCH_HOST_NRM (default 0)     1 = reference-exact k-NN PCA normals (k=20,
+                                 icp.hpp:23-67) from the C++ KD-tree in host
+                                 prep (the production prefetch workers
+                                 compute them overlapped with device compute,
+                                 like voxelization); 0 = on-device adaptive
+                                 normals
   BENCH_ITERS    (default 20)    ICP max iterations
   BENCH_RESIDENT (default 1)     device-resident scan store (0 = stream)
+  BENCH_MIDRUN   (default 0)     1 = optimize-on-find mid-run (reference
+                                 slam_node.cpp:112-115 live behavior). 0
+                                 defers ALL optimization to finalize —
+                                 detection-exact and final-ATE-exact (see
+                                 SlamConfig.optimize_midrun; equivalence
+                                 tested + measured at full scale), saves an
+                                 ~70 ms bounded LM chunk per firing tick
   BENCH_MODE     (default fast)  'northstar' = reference-fidelity single-
                                  config demo: full-density source, tol 1e-6,
                                  50 iters, identity init; JSON line reports
@@ -65,7 +81,7 @@ def main() -> int:
     icp_target = int(os.environ.get("BENCH_TGT", 0))
     icp_tol = float(os.environ.get("BENCH_TOL", 3e-4))
     icp_iters = int(os.environ.get("BENCH_ITERS", 20))
-    block = int(os.environ.get("BENCH_BLOCK", 10))
+    block = int(os.environ.get("BENCH_BLOCK", 50))
     noloop = os.environ.get("BENCH_NOLOOP", "0") == "1"
     nwin = int(os.environ.get("BENCH_NWIN", 0))
     warm = os.environ.get("BENCH_WARM", "1") == "1"
@@ -83,6 +99,7 @@ def main() -> int:
     # identity init: types.hpp:143-148, icp.hpp:174) at full scale, reporting
     # BOTH scans/s and ATE in one JSON line so the speed and accuracy claims
     # live in the same configuration.
+    midrun = os.environ.get("BENCH_MIDRUN", "0") == "1"
     mode = os.environ.get("BENCH_MODE", "fast")
     if mode == "northstar":
         icp_sample, icp_tol, icp_iters, warm = 0, 1e-6, 50, False
@@ -139,6 +156,7 @@ def main() -> int:
     )
 
     host_vox = os.environ.get("BENCH_HOST_VOX", "1") == "1"
+    host_nrm = os.environ.get("BENCH_HOST_NRM", "0") == "1" and host_vox
     voxel_size = 0.5
 
     cfg = SlamConfig(
@@ -154,8 +172,13 @@ def main() -> int:
         lc=LoopClosureConfig(
             verify_sample=4096, verify_tolerance=icp_tol,
             yaw_seed=os.environ.get("BENCH_YAWSEED", "0") == "1",
+            verify_coarse_iterations=int(
+                os.environ.get("BENCH_VCOARSE", 0)
+            ),
         ),
         knn_backend=knn_backend,
+        optimize_midrun=midrun,
+        host_normals=host_nrm,
     )
     if noloop:
         cfg = cfg.replace(loop_check_every=10**9)
@@ -176,11 +199,16 @@ def main() -> int:
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     prepared = []
+    prep_normals = [] if host_nrm else None
+    if host_nrm:
+        from lidar_slam_tpu.utils.native import normals_knn_host
     for i in range(frames):
         s = renderer.render(gt[i], rng, max_points=raw_pts)
         if host_vox:
             s = voxel_downsample_host(s, voxel_size, ds_pts)
         prepared.append(s)
+        if host_nrm:
+            prep_normals.append(normals_knn_host(s, k=20))
         if i % 500 == 499:
             log(f"  prep {i + 1}/{frames}")
     prep_wall = time.perf_counter() - t0
@@ -204,8 +232,12 @@ def main() -> int:
         if resident:
             eng.run_preloaded()
         else:
-            for ds in prepared:
-                eng.push_scan(ds)  # no per-frame device syncs
+            for fi, ds in enumerate(prepared):
+                # no per-frame device syncs
+                eng.push_scan(
+                    ds,
+                    normals=prep_normals[fi] if host_nrm else None,
+                )
         # Attribution aid: how much of the run is the final optimize +
         # occupancy rebuild (the push loop above enqueues asynchronously,
         # so sync FIRST — otherwise finalize would absorb the queued work).
@@ -225,7 +257,7 @@ def main() -> int:
 
     if resident:
         t0 = time.perf_counter()
-        eng.preload(prepared)
+        eng.preload(prepared, normals=prep_normals)
         jax.block_until_ready(eng._resident)
         log(f"dataset upload: {time.perf_counter() - t0:.1f}s "
             f"({frames * cfg.max_points * 12 / 2**30:.2f} GiB resident)")

@@ -90,6 +90,16 @@ class LoopClosureConfig:
     # resolution and sample only the query side for speed.
     verify_sample: int = 0
     verify_tolerance: float = 1e-6     # verify-ICP |delta-error| tolerance
+    # Coarse-to-fine verification warm start: run this many fixed GN
+    # iterations on a ``verify_coarse_sample``-point source subset before the
+    # full-sample verify loop (ICPConfig.coarse_iterations semantics). The
+    # vmapped verify while_loop runs lockstep to the SLOWEST candidate lane
+    # (6-11 iterations from identity at full-scale loop offsets), and each
+    # lane-iteration is a full 1-NN pass — cheap coarse steps cut the
+    # lockstep fine-phase count roughly in half at ~1/8 the per-step cost.
+    # 0 = off (reference behavior: identity init, loop_closure.hpp:105-109).
+    verify_coarse_iterations: int = 0
+    verify_coarse_sample: int = 512
 
 
 @dataclass(frozen=True)
@@ -231,6 +241,18 @@ class SlamConfig:
     lc: LoopClosureConfig = LoopClosureConfig()
     pg: PoseGraphConfig = PoseGraphConfig()
     grid: OccupancyGridConfig = OccupancyGridConfig()
+
+    # Mid-run optimize-on-find (slam_node.cpp:112-115). False defers ALL
+    # pose-graph optimization to finalize: detection-exact (lc.detect's
+    # candidate mask is frame-index-based and verification ICP reads only
+    # stored clouds, never poses) and final-ATE-exact (finalize optimizes
+    # the same factor graph to convergence either way; mid-run optimize
+    # only changes the warm start it converges from). What it costs is the
+    # LIVE pose estimate between finds — the reference optimizes mid-run
+    # for its real-time published map, so True is the parity default; a
+    # throughput-first offline run saves an ~70 ms bounded LM chunk per
+    # firing tick by deferring (tools/profile_firing.py).
+    optimize_midrun: bool = True
 
     # 'auto' (= pallas on TPU, xla elsewhere; both exact brute force),
     # or the opt-in pruned searches 'slab' / 'grid' / 'slab_pallas' — see

@@ -260,6 +260,8 @@ def detect(
         max_iterations=cfg.icp_max_iterations,
         tolerance=cfg.verify_tolerance,
         sample_points=cfg.verify_sample,
+        coarse_iterations=cfg.verify_coarse_iterations,
+        coarse_sample=cfg.verify_coarse_sample,
     )
 
     # Optional yaw seed from the SC best shift (reference uses identity init,

@@ -357,7 +357,10 @@ def make_block_step_fn(config: SlamConfig, block: int,
     raw_normals_blk=None) -> state`` where scan k is frame ``frame0 + k``.
     """
     body = _make_step_body(config, nn1_fn)
-    loop_body = _make_loop_body(config) if include_loop else None
+    loop_body = (
+        _make_loop_body(config, config.optimize_midrun)
+        if include_loop else None
+    )
 
     @functools.partial(jax.jit, donate_argnums=0)
     def block_fn(state: SlamState, raw_blk, counts, frame0,
@@ -399,25 +402,30 @@ def make_resident_block_fn(config: SlamConfig, block: int,
     fetch, at healthy bandwidth) and slicing it on device makes the
     steady-state loop transfer-free.
 
-    Signature: ``fn(state, scans (T, N, 3), counts (T,), frame0) -> state``
-    processing frames ``frame0 .. frame0+block-1`` = the same-named rows of
-    ``scans``. ``scans``/``counts`` are NOT donated — pass the same device
-    arrays every call.
+    Signature: ``fn(state, scans (T, N, 3), counts (T,), frame0[, normals])
+    -> state`` processing frames ``frame0 .. frame0+block-1`` = the
+    same-named rows of ``scans``. ``scans``/``counts`` (and the optional
+    resident ``normals`` store, config.host_normals) are NOT donated — pass
+    the same device arrays every call.
     """
     body = _make_step_body(config, nn1_fn)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def resident_block_fn(state: SlamState, scans, counts, frame0) -> SlamState:
+    def resident_block_fn(state: SlamState, scans, counts, frame0,
+                          normals=None) -> SlamState:
         frame0 = frame0.astype(jnp.int32)
         raw_blk = jax.lax.dynamic_slice_in_dim(scans, frame0, block)
         cnt_blk = jax.lax.dynamic_slice_in_dim(counts, frame0, block)
+        xs = (raw_blk, cnt_blk, jnp.arange(block, dtype=jnp.int32))
+        if normals is not None:
+            xs = xs + (jax.lax.dynamic_slice_in_dim(normals, frame0, block),)
 
         def scan_body(st, inp):
-            pts, cnt, k = inp
-            return body(st, pts, cnt, frame0 + k), ()
+            pts, cnt, k = inp[:3]
+            nrm = inp[3] if len(inp) > 3 else None
+            return body(st, pts, cnt, frame0 + k, raw_normals=nrm), ()
 
-        ks = jnp.arange(block, dtype=jnp.int32)
-        state, _ = jax.lax.scan(scan_body, state, (raw_blk, cnt_blk, ks))
+        state, _ = jax.lax.scan(scan_body, state, xs)
         return state
 
     return resident_block_fn
@@ -694,7 +702,9 @@ class SlamEngine:
         self.config = config
         self._init_fn = make_init_fn(config)
         self._step_fn = make_step_fn(config)
-        self._loop_fn = make_loop_fn_split(config)
+        self._loop_fn = make_loop_fn_split(
+            config, in_graph_optimize=config.optimize_midrun
+        )
         self._optimize_fn = make_optimize_fn(config)
         self._finalize_fn = make_finalize_fn(config)
         self._block = max(config.dispatch_block, 0)
@@ -708,7 +718,9 @@ class SlamEngine:
                 # block (detection-exact — see make_multi_tick_fn)
                 self._n_ticks = self._block // cad
                 if self._n_ticks > 1:
-                    self._multi_tick_fn = make_multi_tick_fn(config)
+                    self._multi_tick_fn = make_multi_tick_fn(
+                        config, in_graph_optimize=config.optimize_midrun
+                    )
             elif cad % self._block != 0:
                 raise ValueError(
                     f"dispatch_block={self._block} must divide or be a "
@@ -718,6 +730,7 @@ class SlamEngine:
             self._block_fn = make_block_step_fn(config, self._block)
         self._pending: list = []  # buffered (raw, count[, normals]) tuples
         self._resident = None     # (scans_dev (T,N,3), counts_dev (T,))
+        self._resident_normals = None  # (T,N,3) host-normal store (optional)
         self._resident_block_fn = None
         self.state = init_state(config)
         self._frame = 0
@@ -904,7 +917,7 @@ class SlamEngine:
 
     # -- resident-scan execution (transfer-free steady state) ---------------
 
-    def preload(self, scans: list) -> None:
+    def preload(self, scans: list, normals: Optional[list] = None) -> None:
         """Upload all prepared scans to the device ONCE as a (T, N, 3) store.
 
         Call BEFORE any result fetch: on tunneled runtimes a single
@@ -912,9 +925,14 @@ class SlamEngine:
         :func:`make_resident_block_fn`), so the one big healthy-bandwidth
         transfer here is the last host->device data movement the run needs.
         ``run_preloaded`` then drives the whole pipeline with scalar-only
-        operands. Not compatible with ``config.host_normals``."""
-        if self.config.host_normals:
-            raise ValueError("preload does not support host_normals")
+        operands.
+
+        ``normals``: per-scan host-computed normals, same row indexing as
+        ``scans`` (config.host_normals — e.g. utils.native.normals_knn_host
+        from the C++ prefetch workers); uploaded as a second resident
+        store."""
+        if self.config.host_normals and normals is None:
+            raise ValueError("config.host_normals: pass preload(..., normals)")
         cap = (
             self.config.max_points
             if self.config.host_voxelize
@@ -928,18 +946,27 @@ class SlamEngine:
         # fast path and dynamic_update_slice assembles them into the
         # preallocated store with donated in-place writes.
         rows = max(1, (128 * 2**20) // (cap * 12))
-        store = jnp.zeros((T, cap, 3), jnp.float32)
         write = functools.partial(jax.jit, donate_argnums=0)(
             lambda b, c, i: jax.lax.dynamic_update_slice_in_dim(b, c, i, 0)
         )
-        for s0 in range(0, T, rows):
-            hi = min(s0 + rows, T)
-            chunk = np.zeros((hi - s0, cap, 3), np.float32)
-            for i in range(s0, hi):
-                m = min(len(scans[i]), cap)
-                chunk[i - s0, :m] = scans[i][:m]
-                cnt[i] = m
-            store = write(store, jnp.asarray(chunk), jnp.int32(s0))
+
+        def upload(items, fill_count=False):
+            store = jnp.zeros((T, cap, 3), jnp.float32)
+            for s0 in range(0, T, rows):
+                hi = min(s0 + rows, T)
+                chunk = np.zeros((hi - s0, cap, 3), np.float32)
+                for i in range(s0, hi):
+                    m = min(len(items[i]), cap)
+                    chunk[i - s0, :m] = items[i][:m]
+                    if fill_count:
+                        cnt[i] = m
+                store = write(store, jnp.asarray(chunk), jnp.int32(s0))
+            return store
+
+        store = upload(scans, fill_count=True)
+        self._resident_normals = (
+            upload(normals) if normals is not None else None
+        )
         self._resident = (store, jnp.asarray(cnt))
         if self._block > 1 and self._resident_block_fn is None:
             self._resident_block_fn = make_resident_block_fn(
@@ -952,22 +979,26 @@ class SlamEngine:
         if self._resident is None:
             raise ValueError("call preload(scans) first")
         scans, counts = self._resident
+        nrm = getattr(self, "_resident_normals", None)
         T = int(scans.shape[0])
         if self._frame == 0 and T > 0:
-            self.state = self._init_fn(self.state, scans[0], counts[0])
+            kw0 = {} if nrm is None else {"raw_normals": nrm[0]}
+            self.state = self._init_fn(self.state, scans[0], counts[0], **kw0)
             self._frame = 1
         B = self._block if self._block > 1 else 1
         f = self._frame
         while f < T:
             lo = f
             if B > 1 and f + B <= T:
+                kw = {} if nrm is None else {"normals": nrm}
                 self.state = self._resident_block_fn(
-                    self.state, scans, counts, jnp.int32(f)
+                    self.state, scans, counts, jnp.int32(f), **kw
                 )
                 f += B
             else:
+                kw = {} if nrm is None else {"raw_normals": nrm[f]}
                 self.state = self._step_fn(
-                    self.state, scans[f], counts[f], jnp.int32(f)
+                    self.state, scans[f], counts[f], jnp.int32(f), **kw
                 )
                 f += 1
             self._run_ticks(lo, f - 1)

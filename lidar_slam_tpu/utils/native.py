@@ -107,6 +107,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.c_long,
         ]
+        lib.lidar_normals_knn.restype = None
+        lib.lidar_normals_knn.argtypes = [fp, ctypes.c_long, ctypes.c_long, fp]
+        lib.lidar_prefetch_create_v3.restype = ctypes.c_void_p
+        lib.lidar_prefetch_create_v3.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_long,
+            ctypes.c_float,
+            ctypes.c_long,
+            ctypes.c_long,
+        ]
         lib.lidar_prefetch_get_full.restype = ctypes.c_long
         lib.lidar_prefetch_get_full.argtypes = [
             ctypes.c_void_p, ctypes.c_long, fp, fp,
@@ -173,22 +188,27 @@ class FrameLoader:
 
     def __init__(self, paths: List[str], cap: int = 1 << 18, window: int = 8,
                  threads: int = 2, voxel: float = 0.0, raw_cap: int = 0,
-                 normals_radius: float = 0.0, start: int = 0):
+                 normals_radius: float = 0.0, start: int = 0,
+                 normals_k: int = 0):
         """``start``: first frame that will be requested (checkpoint resume) —
         workers begin prefetching there instead of frame 0, so ``get(start)``
-        never deadlocks behind ``window`` frames nobody will consume."""
+        never deadlocks behind ``window`` frames nobody will consume.
+
+        ``normals_k > 0``: reference-exact k-NN PCA worker normals
+        (icp.hpp:23-67 semantics via a KD-tree) instead of radius normals."""
         self.paths = paths
         self.cap = cap
         self.voxel = voxel
         self.normals_radius = normals_radius
+        self.normals_k = normals_k
         self._handle = None
         self._lib = get_lib()
         if self._lib is not None and paths:
             arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-            self._handle = self._lib.lidar_prefetch_create_v2(
+            self._handle = self._lib.lidar_prefetch_create_v3(
                 arr, len(paths), cap, window, threads,
                 ctypes.c_float(voxel), raw_cap or cap,
-                ctypes.c_float(normals_radius), start,
+                ctypes.c_float(normals_radius), start, normals_k,
             )
 
     def get(self, frame: int) -> np.ndarray:
@@ -209,8 +229,11 @@ class FrameLoader:
         return pts[: self.cap]
 
     def get_with_normals(self, frame: int):
-        """(points, normals) — requires ``normals_radius > 0``."""
-        if self._handle is not None and self.normals_radius > 0:
+        """(points, normals) — requires ``normals_radius > 0`` or
+        ``normals_k > 0``."""
+        if self._handle is not None and (
+            self.normals_radius > 0 or self.normals_k > 0
+        ):
             fp = ctypes.POINTER(ctypes.c_float)
             out = np.empty((self.cap, 3), np.float32)
             nrm = np.empty((self.cap, 3), np.float32)
@@ -221,6 +244,8 @@ class FrameLoader:
             if n >= 0:
                 return out[:n], nrm[:n]
         pts = self.get(frame)
+        if self.normals_k > 0:
+            return pts, normals_knn_host(pts, self.normals_k)
         return pts, normals_radius_host(pts, self.normals_radius or 1.0)
 
     def close(self):
@@ -236,6 +261,31 @@ class FrameLoader:
 
     def __del__(self):
         self.close()
+
+
+def normals_knn_host(pts: np.ndarray, k: int = 20) -> np.ndarray:
+    """Reference-exact k-NN PCA normals (icp.hpp:23-67): native C++ KD-tree
+    if available, exact JAX k-NN fallback (identical semantics — see
+    tests/test_native.py::test_native_knn_normals_match_jax)."""
+    lib = get_lib()
+    if lib is not None:
+        pts = np.ascontiguousarray(pts, np.float32)
+        out = np.empty_like(pts)
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.lidar_normals_knn(
+            pts.ctypes.data_as(fp), len(pts), k, out.ctypes.data_as(fp)
+        )
+        return out
+    import jax.numpy as jnp
+
+    from ..ops.normals import estimate_normals
+
+    return np.asarray(
+        estimate_normals(
+            jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool),
+            k=min(k, len(pts)), exact=True,
+        )
+    )
 
 
 def normals_radius_host(pts: np.ndarray, radius: float) -> np.ndarray:

@@ -219,6 +219,65 @@ long voxel_downsample_impl(const float* pts, long n, float voxel, float* out,
 // 16k scan on a v5e — pure win to hide it on the host).
 // ---------------------------------------------------------------------------
 
+// Normal from accumulated neighbor moments in QUERY-RELATIVE coordinates
+// (sx..yz are sums of d and d*d^T components over cnt neighbors; relative
+// coords avoid the catastrophic cancellation of absolute second moments at
+// KITTI ranges). Smallest eigenvector by the analytic trigonometric 3x3
+// method, z-oriented; (0,0,1) fallback for degenerate neighborhoods.
+static void pca_normal_from_moments(double sx, double sy, double sz,
+                                    double xx, double yy, double zz,
+                                    double xy, double xz, double yz,
+                                    int cnt, float* o) {
+    if (cnt < 3) {
+        o[0] = 0; o[1] = 0; o[2] = 1;
+        return;
+    }
+    const double inv = 1.0 / cnt;
+    const double mx = sx * inv, my = sy * inv, mz = sz * inv;
+    double a00 = xx * inv - mx * mx, a11 = yy * inv - my * my,
+           a22 = zz * inv - mz * mz;
+    double a01 = xy * inv - mx * my, a02 = xz * inv - mx * mz,
+           a12 = yz * inv - my * mz;
+    // analytic smallest eigenvalue (trigonometric method)
+    const double q = (a00 + a11 + a22) / 3.0;
+    const double p1 = a01 * a01 + a02 * a02 + a12 * a12;
+    const double p2 = (a00 - q) * (a00 - q) + (a11 - q) * (a11 - q) +
+                      (a22 - q) * (a22 - q) + 2.0 * p1;
+    const double p = std::sqrt(std::max(p2 / 6.0, 1e-30));
+    const double b00 = (a00 - q) / p, b11 = (a11 - q) / p,
+                 b22 = (a22 - q) / p;
+    const double b01 = a01 / p, b02 = a02 / p, b12 = a12 / p;
+    double detB = b00 * (b11 * b22 - b12 * b12) -
+                  b01 * (b01 * b22 - b12 * b02) +
+                  b02 * (b01 * b12 - b11 * b02);
+    double rr = detB / 2.0;
+    rr = rr < -1.0 ? -1.0 : (rr > 1.0 ? 1.0 : rr);
+    const double phi = std::acos(rr) / 3.0;
+    const double lam = q + 2.0 * p * std::cos(phi + 2.0 * M_PI / 3.0);
+    // null-space direction of (A - lam I): largest cross product of rows
+    const double r0x = a00 - lam, r0y = a01, r0z = a02;
+    const double r1x = a01, r1y = a11 - lam, r1z = a12;
+    const double r2x = a02, r2y = a12, r2z = a22 - lam;
+    double c01x = r0y * r1z - r0z * r1y, c01y = r0z * r1x - r0x * r1z,
+           c01z = r0x * r1y - r0y * r1x;
+    double c02x = r0y * r2z - r0z * r2y, c02y = r0z * r2x - r0x * r2z,
+           c02z = r0x * r2y - r0y * r2x;
+    double c12x = r1y * r2z - r1z * r2y, c12y = r1z * r2x - r1x * r2z,
+           c12z = r1x * r2y - r1y * r2x;
+    double n01 = c01x * c01x + c01y * c01y + c01z * c01z;
+    double n02 = c02x * c02x + c02y * c02y + c02z * c02z;
+    double n12 = c12x * c12x + c12y * c12y + c12z * c12z;
+    double vx, vy, vz, nn;
+    if (n01 >= n02 && n01 >= n12) { vx = c01x; vy = c01y; vz = c01z; nn = n01; }
+    else if (n02 >= n12) { vx = c02x; vy = c02y; vz = c02z; nn = n02; }
+    else { vx = c12x; vy = c12y; vz = c12z; nn = n12; }
+    if (nn < 1e-20) { o[0] = 0; o[1] = 0; o[2] = 1; return; }
+    const double s = 1.0 / std::sqrt(nn);
+    vx *= s; vy *= s; vz *= s;
+    if (vz < 0) { vx = -vx; vy = -vy; vz = -vz; }
+    o[0] = (float)vx; o[1] = (float)vy; o[2] = (float)vz;
+}
+
 void normals_radius_impl(const float* pts, long n, float radius, float* out) {
     const double r2 = (double)radius * radius;
     const double inv_cell = 1.0 / radius;
@@ -263,55 +322,111 @@ void normals_radius_impl(const float* pts, long n, float radius, float* out) {
                         ++cnt;
                     }
                 }
-        float* o = out + i * 3;
-        if (cnt < 3) {
-            o[0] = 0; o[1] = 0; o[2] = 1;
-            continue;
+        pca_normal_from_moments(sx, sy, sz, xx, yy, zz, xy, xz, yz, cnt,
+                                out + i * 3);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Reference-exact k-NN PCA normals (icp.hpp:23-67): k nearest neighbors
+// (self included, as in the reference's tree query), covariance about the
+// neighbor centroid, smallest-eigenvalue eigenvector, z-oriented, (0,0,1)
+// for < 3 neighbors. Static median-split KD-tree, branch pruning on the
+// split plane. Runs in the prefetch workers / dataset-prep loop so the
+// device never pays the 40-140x TPU cost of rank-based k-NN selection.
+// ---------------------------------------------------------------------------
+
+struct KDTree3 {
+    static constexpr long BUCKET = 24;  // leaf size: linear scan below this
+    const float* pts;
+    long n;
+    std::vector<int> idx;  // subtree = idx[lo, hi), split node at mid
+
+    KDTree3(const float* p, long n_) : pts(p), n(n_), idx((size_t)n_) {
+        for (long i = 0; i < n; ++i) idx[(size_t)i] = (int)i;
+        build(0, n, 0);
+    }
+
+    void build(long lo, long hi, int axis) {
+        if (hi - lo <= BUCKET) return;
+        const long mid = (lo + hi) / 2;
+        std::nth_element(
+            idx.begin() + lo, idx.begin() + mid, idx.begin() + hi,
+            [&](int a, int b) { return pts[a * 3 + axis] < pts[b * 3 + axis]; });
+        const int next = axis == 2 ? 0 : axis + 1;
+        build(lo, mid, next);
+        build(mid + 1, hi, next);
+    }
+
+    static inline void heap_push(const double d2, const int pi, int k,
+                                 std::pair<double, int>* heap, int& hn) {
+        if (hn < k) {
+            heap[hn++] = {d2, pi};
+            std::push_heap(heap, heap + hn);
+        } else if (d2 < heap[0].first) {
+            std::pop_heap(heap, heap + hn);
+            heap[hn - 1] = {d2, pi};
+            std::push_heap(heap, heap + hn);
         }
-        const double inv = 1.0 / cnt;
-        const double mx = sx * inv, my = sy * inv, mz = sz * inv;
-        double a00 = xx * inv - mx * mx, a11 = yy * inv - my * my,
-               a22 = zz * inv - mz * mz;
-        double a01 = xy * inv - mx * my, a02 = xz * inv - mx * mz,
-               a12 = yz * inv - my * mz;
-        // analytic smallest eigenvalue (trigonometric method)
-        const double q = (a00 + a11 + a22) / 3.0;
-        const double p1 = a01 * a01 + a02 * a02 + a12 * a12;
-        const double p2 = (a00 - q) * (a00 - q) + (a11 - q) * (a11 - q) +
-                          (a22 - q) * (a22 - q) + 2.0 * p1;
-        const double p = std::sqrt(std::max(p2 / 6.0, 1e-30));
-        const double b00 = (a00 - q) / p, b11 = (a11 - q) / p,
-                     b22 = (a22 - q) / p;
-        const double b01 = a01 / p, b02 = a02 / p, b12 = a12 / p;
-        double detB = b00 * (b11 * b22 - b12 * b12) -
-                      b01 * (b01 * b22 - b12 * b02) +
-                      b02 * (b01 * b12 - b11 * b02);
-        double rr = detB / 2.0;
-        rr = rr < -1.0 ? -1.0 : (rr > 1.0 ? 1.0 : rr);
-        const double phi = std::acos(rr) / 3.0;
-        const double lam = q + 2.0 * p * std::cos(phi + 2.0 * M_PI / 3.0);
-        // null-space direction of (A - lam I): largest cross product of rows
-        const double r0x = a00 - lam, r0y = a01, r0z = a02;
-        const double r1x = a01, r1y = a11 - lam, r1z = a12;
-        const double r2x = a02, r2y = a12, r2z = a22 - lam;
-        double c01x = r0y * r1z - r0z * r1y, c01y = r0z * r1x - r0x * r1z,
-               c01z = r0x * r1y - r0y * r1x;
-        double c02x = r0y * r2z - r0z * r2y, c02y = r0z * r2x - r0x * r2z,
-               c02z = r0x * r2y - r0y * r2x;
-        double c12x = r1y * r2z - r1z * r2y, c12y = r1z * r2x - r1x * r2z,
-               c12z = r1x * r2y - r1y * r2x;
-        double n01 = c01x * c01x + c01y * c01y + c01z * c01z;
-        double n02 = c02x * c02x + c02y * c02y + c02z * c02z;
-        double n12 = c12x * c12x + c12y * c12y + c12z * c12z;
-        double vx, vy, vz, nn;
-        if (n01 >= n02 && n01 >= n12) { vx = c01x; vy = c01y; vz = c01z; nn = n01; }
-        else if (n02 >= n12) { vx = c02x; vy = c02y; vz = c02z; nn = n02; }
-        else { vx = c12x; vy = c12y; vz = c12z; nn = n12; }
-        if (nn < 1e-20) { o[0] = 0; o[1] = 0; o[2] = 1; continue; }
-        const double s = 1.0 / std::sqrt(nn);
-        vx *= s; vy *= s; vz *= s;
-        if (vz < 0) { vx = -vx; vy = -vy; vz = -vz; }
-        o[0] = (float)vx; o[1] = (float)vy; o[2] = (float)vz;
+    }
+
+    // heap: max-heap of (dist2, point index), size k once warm.
+    void query(const double q[3], int k, std::pair<double, int>* heap,
+               int& hn, long lo, long hi, int axis) const {
+        if (hi - lo <= BUCKET) {  // leaf: linear scan
+            for (long j = lo; j < hi; ++j) {
+                const int pi = idx[(size_t)j];
+                const double dx = (double)pts[pi * 3] - q[0];
+                const double dy = (double)pts[pi * 3 + 1] - q[1];
+                const double dz = (double)pts[pi * 3 + 2] - q[2];
+                heap_push(dx * dx + dy * dy + dz * dz, pi, k, heap, hn);
+            }
+            return;
+        }
+        const long mid = (lo + hi) / 2;
+        const int pi = idx[(size_t)mid];
+        const double dx = (double)pts[pi * 3] - q[0];
+        const double dy = (double)pts[pi * 3 + 1] - q[1];
+        const double dz = (double)pts[pi * 3 + 2] - q[2];
+        heap_push(dx * dx + dy * dy + dz * dz, pi, k, heap, hn);
+        const double diff = q[axis] - (double)pts[pi * 3 + axis];
+        const int next = axis == 2 ? 0 : axis + 1;
+        const long nlo = diff < 0 ? lo : mid + 1;
+        const long nhi = diff < 0 ? mid : hi;
+        query(q, k, heap, hn, nlo, nhi, next);
+        // far side only if the split plane is closer than the current worst
+        if (hn < k || diff * diff < heap[0].first) {
+            const long flo = diff < 0 ? mid + 1 : lo;
+            const long fhi = diff < 0 ? hi : mid;
+            query(q, k, heap, hn, flo, fhi, next);
+        }
+    }
+};
+
+void normals_knn_impl(const float* pts, long n, int k, float* out) {
+    if (n <= 0) return;
+    if (k < 1) k = 1;
+    if (k > n) k = (int)n;
+    KDTree3 tree(pts, n);
+    std::vector<std::pair<double, int>> heap((size_t)k);
+    for (long i = 0; i < n; ++i) {
+        const double q[3] = {(double)pts[i * 3], (double)pts[i * 3 + 1],
+                             (double)pts[i * 3 + 2]};
+        int hn = 0;
+        tree.query(q, k, heap.data(), hn, 0, n, 0);
+        double sx = 0, sy = 0, sz = 0;
+        double xx = 0, yy = 0, zz = 0, xy = 0, xz = 0, yz = 0;
+        for (int j = 0; j < hn; ++j) {
+            const int pi = heap[(size_t)j].second;
+            const double ddx = (double)pts[pi * 3] - q[0];
+            const double ddy = (double)pts[pi * 3 + 1] - q[1];
+            const double ddz = (double)pts[pi * 3 + 2] - q[2];
+            sx += ddx; sy += ddy; sz += ddz;
+            xx += ddx * ddx; yy += ddy * ddy; zz += ddz * ddz;
+            xy += ddx * ddy; xz += ddx * ddz; yz += ddy * ddz;
+        }
+        pca_normal_from_moments(sx, sy, sz, xx, yy, zz, xy, xz, yz, hn,
+                                out + i * 3);
     }
 }
 
@@ -326,6 +441,7 @@ struct Prefetcher {
     long cap;            // max points per frame (post-downsample)
     float voxel;         // > 0: voxel-downsample in the worker
     float normals_r;     // > 0: compute radius normals in the worker
+    long normals_k;      // > 0: reference-exact k-NN normals instead (wins)
     long raw_cap;        // scratch capacity for raw points
     int window;          // number of readahead slots
     std::vector<std::vector<float>> normal_slots;
@@ -341,8 +457,9 @@ struct Prefetcher {
 
     Prefetcher(const char** p, int n, long cap_, int window_, int n_threads,
                float voxel_ = 0.0f, long raw_cap_ = 0, float normals_r_ = 0.0f,
-               long start_ = 0)
+               long start_ = 0, long normals_k_ = 0)
         : cap(cap_), voxel(voxel_), normals_r(normals_r_),
+          normals_k(normals_k_),
           raw_cap(raw_cap_ > 0 ? raw_cap_ : cap_), window(window_) {
         // Resume support: begin loading (and counting consumption) at
         // start_ so get(start_) doesn't deadlock behind window-full slots
@@ -354,7 +471,7 @@ struct Prefetcher {
         counts.assign(window, -2);
         slot_frame.assign(window, -1);
         for (auto& s : slots) s.resize(static_cast<size_t>(cap) * 3);
-        if (normals_r > 0) {
+        if (normals_r > 0 || normals_k > 0) {
             normal_slots.resize(window);
             for (auto& s : normal_slots) s.resize(static_cast<size_t>(cap) * 3);
         }
@@ -400,9 +517,15 @@ struct Prefetcher {
             } else {
                 cnt = load_ply_impl(path.c_str(), slots[slot].data(), cap);
             }
-            if (normals_r > 0 && cnt > 0)
-                normals_radius_impl(slots[slot].data(), cnt, normals_r,
-                                    normal_slots[slot].data());
+            if (cnt > 0) {
+                if (normals_k > 0)
+                    normals_knn_impl(slots[slot].data(), cnt,
+                                     static_cast<int>(normals_k),
+                                     normal_slots[slot].data());
+                else if (normals_r > 0)
+                    normals_radius_impl(slots[slot].data(), cnt, normals_r,
+                                        normal_slots[slot].data());
+            }
             {
                 std::lock_guard<std::mutex> lk(mu);
                 counts[slot] = cnt;
@@ -420,7 +543,7 @@ struct Prefetcher {
         if (cnt > 0) {
             std::memcpy(out, slots[slot].data(),
                         static_cast<size_t>(cnt) * 3 * sizeof(float));
-            if (out_normals && normals_r > 0)
+            if (out_normals && (normals_r > 0 || normals_k > 0))
                 std::memcpy(out_normals, normal_slots[slot].data(),
                             static_cast<size_t>(cnt) * 3 * sizeof(float));
         }
@@ -510,6 +633,21 @@ long lidar_prefetch_get_full(void* h, long frame, float* out_pts,
 
 void lidar_normals_radius(const float* pts, long n, float radius, float* out) {
     normals_radius_impl(pts, n, radius, out);
+}
+
+// Reference-exact k-NN PCA normals (icp.hpp:23-67) — KD-tree, self included.
+void lidar_normals_knn(const float* pts, long n, long k, float* out) {
+    normals_knn_impl(pts, n, static_cast<int>(k), out);
+}
+
+// v3: adds normals_k (> 0 selects reference-exact k-NN worker normals,
+// overriding normals_radius).
+void* lidar_prefetch_create_v3(const char** paths, int n, long cap,
+                               int window, int n_threads, float voxel,
+                               long raw_cap, float normals_radius,
+                               long start_frame, long normals_k) {
+    return new Prefetcher(paths, n, cap, window, n_threads, voxel, raw_cap,
+                          normals_radius, start_frame, normals_k);
 }
 
 long lidar_prefetch_get(void* h, long frame, float* out) {

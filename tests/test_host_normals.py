@@ -67,3 +67,43 @@ def test_engine_host_normals_pipeline():
         host.push_scan(ds, normals=nrm)
     ate_host = ate_rmse(host.trajectory(), gt)
     assert ate_host < max(2.0 * ate_dev, 0.3), (ate_host, ate_dev)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_resident_host_normals_matches_streaming():
+    """preload(scans, normals=...) + run_preloaded reproduces the streaming
+    push_scan(..., normals=...) host-normals pipeline exactly (same clouds,
+    same normals, same dispatch math — only the transfer pattern differs)."""
+    from lidar_slam_tpu.utils.native import normals_knn_host
+
+    n = 12
+    half = route_half_for(60)
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(60, half=half)[:n]
+    rng = np.random.default_rng(0)
+    scans, normals = [], []
+    for i in range(n):
+        s = render_scan(world, gt[i], rng, max_range=30.0, max_points=4000)
+        ds = voxel_downsample_host(s, 0.8, 4096)
+        scans.append(ds)
+        normals.append(normals_knn_host(ds, k=20))
+    cfg = tiny_config(max_raw_points=4096, max_points=4096,
+                      lc_cloud_points=1024, max_frames=16,
+                      dispatch_block=4).replace(
+        voxel_size=0.8, host_voxelize=True, host_normals=True)
+
+    stream = SlamEngine(cfg)
+    for s, nr in zip(scans, normals):
+        stream.push_scan(s, normals=nr)
+    stream.flush()
+
+    resident = SlamEngine(cfg)
+    resident.preload(scans, normals=normals)
+    resident.run_preloaded()
+
+    np.testing.assert_allclose(
+        stream.trajectory(), resident.trajectory(), atol=1e-5
+    )
+    m_s, m_r = stream.metrics(), resident.metrics()
+    np.testing.assert_array_equal(m_s["icp_iters"], m_r["icp_iters"])
+    assert m_s["loop_count"] == m_r["loop_count"]

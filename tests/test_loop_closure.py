@@ -237,3 +237,35 @@ def test_verify_until_accepted_second_tranche(rng):
     # round-1 bounded top-K behavior loses the loop entirely
     det0 = run(0)
     assert not np.asarray(det0.accepted).any()
+
+
+def test_coarse_verify_matches_plain(rng):
+    """verify_coarse_iterations (coarse-to-fine verification warm start)
+    accepts the same loops with the same matches and equivalent transforms:
+    the coarse GN steps only move the init toward the SAME local minimum the
+    full-sample loop converges to (the acceptance test runs on the converged
+    full-sample fitness either way)."""
+    poses, scans = make_scene_scans(rng)
+    sc_cfg = ScanContextConfig()
+    base = dict(frame_gap=5, sc_distance_threshold=0.35,
+                icp_fitness_threshold=0.6, icp_max_iterations=15)
+    db = lc.init_db(16, 2048, sc_cfg)
+    for f, scan in enumerate(scans):
+        db = lc.add_frame(db, to_pc(scan), jnp.int32(f), sc_cfg)
+    det_plain = lc.detect(db, LoopClosureConfig(**base), sc_cfg)
+    det_coarse = lc.detect(
+        db,
+        LoopClosureConfig(**base, verify_coarse_iterations=5,
+                          verify_coarse_sample=256),
+        sc_cfg,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_plain.accepted), np.asarray(det_coarse.accepted)
+    )
+    assert np.asarray(det_plain.accepted).any()
+    np.testing.assert_array_equal(
+        np.asarray(det_plain.match_frame), np.asarray(det_coarse.match_frame)
+    )
+    acc = np.asarray(det_plain.accepted)
+    dT = np.asarray(det_plain.transform)[acc] - np.asarray(det_coarse.transform)[acc]
+    assert np.abs(dT).max() < 5e-3, dT

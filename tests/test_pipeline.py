@@ -332,3 +332,57 @@ def test_warm_start_tracks_rotation():
     it_w = warm.metrics()["icp_iters"][1:].mean()
     assert ate_w < max(2.0 * ate_c, 0.5), (ate_w, ate_c)
     assert it_w <= it_c + 0.5, (it_w, it_c)
+
+
+def test_deferred_optimize_equivalence():
+    """optimize_midrun=False (defer ALL pose-graph optimization to finalize)
+    accepts the IDENTICAL loop factor set and lands on the same final
+    trajectory: detection reads only stored clouds + frame indices (never
+    poses), and finalize optimizes the same factor graph to convergence —
+    mid-run optimize only changes the warm start finalize converges from."""
+    world = generate_world(0, route_half=8.0)
+    poses = []
+    for i in range(10):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [i * 1.5, 0, 1.8]
+        poses.append(T)
+    for k in range(4):
+        T = np.eye(4, dtype=np.float32)
+        c, s = np.cos(0.2), np.sin(0.2)
+        T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        T[:3, 3] = poses[1 + k][:3, 3]
+        poses.append(T)
+    rng = np.random.default_rng(0)
+    scans = [
+        render_scan(world, p, rng, max_range=25.0, max_points=2000)
+        for p in poses
+    ]
+    lc_cfg = dict(frame_gap=4, sc_distance_threshold=0.5,
+                  icp_fitness_threshold=0.6, icp_max_iterations=15,
+                  verify_tolerance=1e-3)
+
+    def cfg(midrun):
+        c = tiny_config(dispatch_block=4, max_raw_points=4096,
+                        max_points=2048, lc_cloud_points=2048,
+                        optimize_midrun=midrun)
+        return c.replace(lc=dataclasses.replace(c.lc, **lc_cfg))
+
+    e_on = SlamEngine(cfg(True))
+    e_off = SlamEngine(cfg(False))
+    for s in scans:
+        e_on.push_scan(s)
+        e_off.push_scan(s)
+    e_on.finalize()
+    e_off.finalize()
+    m_on, m_off = e_on.metrics(), e_off.metrics()
+    assert m_on["loop_count"] == m_off["loop_count"]
+    assert m_on["loop_count"] > 0
+    np.testing.assert_array_equal(
+        np.asarray(e_on.state.pg.loop_from), np.asarray(e_off.state.pg.loop_from)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e_on.state.pg.loop_to), np.asarray(e_off.state.pg.loop_to)
+    )
+    # odometry deltas untouched by optimization timing
+    np.testing.assert_array_equal(m_on["icp_iters"], m_off["icp_iters"])
+    assert np.abs(e_on.trajectory() - e_off.trajectory()).max() < 5e-2
