@@ -1029,6 +1029,7 @@ class SlamEngine:
         res = pg.optimize_chunked(
             self.state.pg._replace(poses=self.state.poses), self.config.pg,
             chunk=self.config.pg.inline_max_iterations,
+            timing=timing,
         )
         idx = jnp.arange(self.state.poses.shape[0])
         poses = jnp.where(

@@ -1222,6 +1222,7 @@ def optimize_chunked(
     state: PoseGraphState,
     cfg: PoseGraphConfig = PoseGraphConfig(),
     chunk: int = 10,
+    timing: dict | None = None,
 ) -> OptimizeResult:
     """Host-driven LM-to-convergence in bounded device dispatches.
 
@@ -1231,7 +1232,15 @@ def optimize_chunked(
     LM x CG inside one program and the tunneled TPU runtime kills the worker
     as hung. GTSAM (pose_graph.cpp:147-160) iterates on the host for the
     same effect.
+
+    ``timing``: optional dict populated with per-tier wall seconds and
+    iteration counts (``f32_s``/``f32_it``, ``dd_s``/``dd_it``,
+    ``host_s``/``host_it``) — each tier boundary already syncs (the chunk
+    loop reads the done flag on the host), so the splits are honest.
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     # Host-driven path: compact loop factors to the accepted count before
     # the f32 chunks too (optimize_dd/optimize_host already did) — the
     # Woodbury K assembly gathers O(L^2) blocks and Cholesky-factors
@@ -1253,6 +1262,10 @@ def optimize_chunked(
             # straight to the f64 host rescue below
             break
         prev_err = err
+    if timing is not None:
+        timing["f32_s"] = _time.perf_counter() - t0
+        timing["f32_it"] = total_it
+        t0 = _time.perf_counter()
     if not bool(res.converged) and cfg.solver == "woodbury":
         # Device f32 LM stalled: the Woodbury K matrix needs ~1e-11 relative
         # precision at KITTI extents (f32 assembly makes it indefinite).
@@ -1261,6 +1274,10 @@ def optimize_chunked(
         # bounded dispatch per LM iteration.
         res = optimize_dd(state, cfg, resume=res)
         total_it += int(res.iterations)
+        if timing is not None:
+            timing["dd_s"] = _time.perf_counter() - t0
+            timing["dd_it"] = int(res.iterations)
+            t0 = _time.perf_counter()
     if not bool(res.converged):
         # Last-resort precision backstop: true f64 on the host (same code
         # path GTSAM's CPU solve represents for the reference).
@@ -1271,6 +1288,9 @@ def optimize_chunked(
         if float(host.final_error) < float(res.final_error):
             res = host
         total_it += int(host.iterations)
+        if timing is not None:
+            timing["host_s"] = _time.perf_counter() - t0
+            timing["host_it"] = int(host.iterations)
     return OptimizeResult(
         poses=res.poses,
         final_error=res.final_error,
