@@ -194,6 +194,12 @@ def main() -> int:
     nstride = int(os.environ.get("BENCH_NSTRIDE", 0))
     if nstride:
         cfg = cfg.replace(normal_stride=nstride)
+    # >1: strided adaptive count probes (radius-field replication over the
+    # voxel-sorted cloud; moment PCA stays exact per point) — device-normals
+    # configs only.
+    pstride = int(os.environ.get("BENCH_PSTRIDE", 0))
+    if pstride:
+        cfg = cfg.replace(normal_probe_stride=pstride)
     log(
         f"config: F={cfg.max_frames} ds={ds_pts} lc={cfg.lc_points} "
         f"sample={icp_sample} block={block} warm={warm} "

@@ -301,6 +301,12 @@ class SlamConfig:
     # >1: compute normals on every stride-th (sorted) point, replicate to
     # neighbors — halves the dominant normals cost at stride=2.
     normal_stride: int = 1
+    # >1: run the adaptive COUNT probes on every probe_stride-th target
+    # point and replicate the smooth radius field to the skipped rows (the
+    # per-point moment PCA itself stays exact). Cuts the probe d2 sweep
+    # ~probe_stride x (~40% of adaptive cost) at sub-degree normal impact —
+    # see ops/normals.estimate_normals_adaptive(probe_stride=...).
+    normal_probe_stride: int = 1
     # >0: x-slab windowed radius-moment accumulation (O(N*window) instead of
     # O(N^2)); EXACT on x-major-sorted clouds (both the device voxelizer and
     # the native host voxelizer emit that order — every engine input path is

@@ -102,6 +102,7 @@ def _normals_fn(config: SlamConfig) -> Callable:
             r_probe=(config.normal_probe_lo, config.normal_probe_hi),
             r_min=r, r_max=config.normal_r_max, window=w,
             stride=config.normal_stride,
+            probe_stride=config.normal_probe_stride,
         )
     if config.normal_method == "radius":
         r = config.effective_normal_radius

@@ -256,7 +256,7 @@ def _radius_counts(
 
 def _radius_counts2(
     pts_m: jnp.ndarray, radii: tuple, window: int, chunk: int = 4096,
-    ts: int = 256,
+    ts: int = 256, tgt: jnp.ndarray | None = None,
 ) -> tuple:
     """Neighbor counts within each scalar radius in ``radii``, ONE d2 sweep.
 
@@ -265,18 +265,26 @@ def _radius_counts2(
     pairwise d2 dominates) — fusing the adaptive estimator's two count
     probes here saves a full sweep vs calling once per radius.
     ``window > 0`` uses the x-slab scan over the x-major-sorted cloud, else
-    full chunked streaming."""
+    full chunked streaming.
+
+    ``tgt``: optional (M, 3) subset of query rows (counts are still taken
+    over ALL of ``pts_m``) — the adaptive estimator probes a strided target
+    subset and replicates the smooth radius field (see
+    estimate_normals_adaptive(probe_stride=...))."""
     from .grid_nn import _searchsorted_left
 
     N = pts_m.shape[0]
+    if tgt is None:
+        tgt = pts_m
+    M = tgt.shape[0]
     r2s = [jnp.asarray(r * r, pts_m.dtype) for r in radii]
     r_max_s = max(float(r) for r in radii)
     if 0 < window < N:
-        ts = min(ts, N)
-        while N % ts:
+        ts = min(ts, M)
+        while M % ts:
             ts -= 1
         x_mono = jax.lax.cummax(pts_m[:, 0])
-        tiles = pts_m.reshape(N // ts, ts, 3)
+        tiles = tgt.reshape(M // ts, ts, 3)
         tile_min_x = jnp.min(tiles[:, :, 0], axis=1) - r_max_s
         starts = _searchsorted_left(x_mono, tile_min_x).astype(jnp.int32)
         starts = jnp.clip(starts, 0, max(N - window, 0))
@@ -294,24 +302,24 @@ def _radius_counts2(
             )
 
         _, cnts = jax.lax.scan(per_tile, None, (tiles, starts))
-        return tuple(c.reshape(N) for c in cnts)
+        return tuple(c.reshape(M) for c in cnts)
 
     c = min(chunk, N)
     while N % c:
         c -= 1
 
-    def body(accs, tgt_c):
+    def body(accs, src_c):
         d2 = (
-            (pts_m[:, 0:1] - tgt_c[None, :, 0].reshape(1, -1)) ** 2
-            + (pts_m[:, 1:2] - tgt_c[None, :, 1].reshape(1, -1)) ** 2
-            + (pts_m[:, 2:3] - tgt_c[None, :, 2].reshape(1, -1)) ** 2
+            (tgt[:, 0:1] - src_c[None, :, 0].reshape(1, -1)) ** 2
+            + (tgt[:, 1:2] - src_c[None, :, 1].reshape(1, -1)) ** 2
+            + (tgt[:, 2:3] - src_c[None, :, 2].reshape(1, -1)) ** 2
         )
         return tuple(
             acc + jnp.sum((d2 < r2).astype(pts_m.dtype), axis=1)
             for acc, r2 in zip(accs, r2s)
         ), None
 
-    acc0 = tuple(jnp.zeros((N,), pts_m.dtype) for _ in r2s)
+    acc0 = tuple(jnp.zeros((M,), pts_m.dtype) for _ in r2s)
     accs, _ = jax.lax.scan(body, acc0, pts_m.reshape(N // c, c, 3))
     return accs
 
@@ -319,7 +327,7 @@ def _radius_counts2(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "chunk", "window", "r_probe", "r_min", "r_max",
-                     "stride"),
+                     "stride", "probe_stride"),
 )
 def estimate_normals_adaptive(
     pts: jnp.ndarray,
@@ -331,6 +339,7 @@ def estimate_normals_adaptive(
     window: int = 0,
     chunk: int = 4096,
     stride: int = 1,
+    probe_stride: int = 1,
 ) -> jnp.ndarray:
     """Count-targeted per-point-radius moment normals (k-NN-ball emulation).
 
@@ -352,6 +361,21 @@ def estimate_normals_adaptive(
 
     Normals agree with true k-NN PCA to p90 < 1 degree on ring scans and the
     per-frame ICP delta error vs the f64 mirror drops 176 -> 11 mm.
+
+    ``probe_stride > 1``: run the COUNT probes (step 1) on every
+    probe_stride-th target point only and replicate the resulting radius to
+    the skipped rows. Unlike ``stride`` (which replicates the NORMALS — a
+    measured net loss from noise), this replicates only the smooth per-point
+    RADIUS field over voxel-sorted adjacent rows; the moment PCA itself
+    (step 4) still runs exactly per point. Cuts the probe d2 sweep by
+    ~probe_stride x, ~40% of the total adaptive cost.
+
+    REQUIRES the engine's VOXEL-KEY sort order (ops/voxel.py; adjacent rows
+    are neighboring voxel columns, so the replicated radius is spatially
+    local). Under a raw x-only sort adjacent rows can sit on opposite ring
+    sides and replication degrades (measured: p90 normal delta 4.4 deg at
+    probe_stride=4 vs 1.0 deg at probe_stride=2 under voxel order — see
+    tests/test_normals.py::test_adaptive_probe_stride_matches_exact).
     """
     if stride > 1:
         # normals for every stride-th (x-sorted) point, replicated to the
@@ -372,11 +396,20 @@ def estimate_normals_adaptive(
         n = jnp.repeat(sub, stride, axis=0)[:N]
         up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], pts.dtype), n.shape)
         return jnp.where(mask[:, None], n, up)
+    N = pts.shape[0]
     pts_m = jnp.where(mask[:, None], pts, 1.0e6)
     r_lo, r_hi = float(r_probe[0]), float(r_probe[1])
     # both probe radii in ONE pairwise-d2 sweep (the d2 dominates; a second
     # radius adds only a compare+sum) — saves a full count pass vs two calls
-    c_lo, c_hi = _radius_counts2(pts_m, (r_lo, r_hi), window, chunk)
+    ps = max(int(probe_stride), 1)
+    tgt = pts_m[::ps] if ps > 1 else None
+    # strided probe tiles span ps x the x-range of full tiles; shrink the
+    # tile size by ps so each tile's +-r_hi x-band stays inside ``window``
+    # (the slab coverage condition) — the saving is the ps-x narrower d2
+    # tile, not fewer tiles.
+    c_lo, c_hi = _radius_counts2(
+        pts_m, (r_lo, r_hi), window, chunk, ts=max(256 // ps, 8), tgt=tgt
+    )
     c_lo = jnp.maximum(c_lo, 2.0)
     c_hi = jnp.maximum(c_hi, 2.0)
     dim = jnp.clip(
@@ -385,6 +418,8 @@ def estimate_normals_adaptive(
     r_i = jnp.clip(
         r_hi * (float(k) / c_hi) ** (1.0 / dim), r_min, r_max
     ).astype(pts.dtype)
+    if ps > 1:
+        r_i = jnp.repeat(r_i, ps, axis=0)[:N]
     return estimate_normals_radius(
         pts, mask, radius=r_i, chunk=chunk, window=window
     )
