@@ -216,14 +216,22 @@ def main() -> int:
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     cache = None
+    cache_read = None
     if os.environ.get("BENCH_CACHE", "1") == "1":
         key = f"f{frames}_r{raw_pts}_d{ds_pts}_v{voxel_size}_hv{int(host_vox)}_hn{int(host_nrm)}"
         cache = f"/tmp/lidar_bench_prep_{key}.npz"
+        cache_read = cache
+        if not host_nrm and host_vox and not os.path.exists(cache):
+            # the hn1 cache holds identical scans/counts plus a normals
+            # array this config ignores — reuse it rather than re-prepping
+            alt = cache.replace("_hn0", "_hn1")
+            if os.path.exists(alt):
+                cache_read = alt
     prepared = None
     prep_normals = None
-    if cache and os.path.exists(cache):
+    if cache_read and os.path.exists(cache_read):
         try:
-            z = np.load(cache)
+            z = np.load(cache_read)
             prepared = np.ascontiguousarray(z["scans"])
             counts = z["counts"]
             prepared = [prepared[i, : counts[i]] for i in range(len(counts))]
@@ -232,7 +240,7 @@ def main() -> int:
                 prep_normals = [
                     nrm_flat[i, : counts[i]] for i in range(len(counts))
                 ]
-            log(f"prep cache hit: {cache}")
+            log(f"prep cache hit: {cache_read}")
         except Exception as e:  # corrupt/partial cache: regenerate
             log(f"prep cache unreadable ({e}); regenerating")
             prepared = None
