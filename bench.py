@@ -382,9 +382,24 @@ def main() -> int:
             f"ATE {ate:.3f} m | loops {m['loop_count']} "
             f"(dropped {m['loops_dropped']}, "
             f"{m['verify_fired']} firing ticks) | "
+            f"occ_dropped {m['occ_dropped']} | "
             f"mean ICP iters {m['icp_iters'][1:].mean():.1f} | "
             f"mean ICP err {m['icp_error'][1:].mean():.3f}"
         )
+        # BENCH_SAVE_LOOPS=path: dump the accepted loop constraints for the
+        # full-scale mirror anchor (tools/mirror_fullscale.py phase 2 applies
+        # the f64 host backend to the mirror odometry with these loops).
+        loops_out = os.environ.get("BENCH_SAVE_LOOPS", "")
+        if loops_out:
+            pgs = eng.state.pg
+            np.savez(
+                loops_out,
+                loop_from=np.asarray(pgs.loop_from),
+                loop_to=np.asarray(pgs.loop_to),
+                loop_rel=np.asarray(pgs.loop_rel),
+                loop_valid=np.asarray(pgs.loop_valid),
+            )
+            log(f"loop constraints -> {loops_out}")
     except Exception as e:  # summary is best-effort
         log(f"summary failed: {e}")
     finally:

@@ -938,6 +938,104 @@ def compact_loops(state: PoseGraphState) -> PoseGraphState:
     )
 
 
+_DD_HEALTH: bool | None = None
+
+
+def reset_dd_health(value: bool | None = None) -> None:
+    """Test hook: clear (or force) the cached DD health verdict."""
+    global _DD_HEALTH
+    _DD_HEALTH = value
+
+
+def dd_backend_healthy(probe: bool = True) -> bool:
+    """One-time runtime gate for the emulated-f64 tier.
+
+    The double-single arithmetic in ``ops/df64`` is only correct if the
+    compiler preserves the error-free transforms exactly — no FMA
+    contraction of ``a*b - hi``, no reassociation (observed failure mode
+    on a hypothetical toolchain regression: 4.7e5x-wrong LM steps, see
+    ``_dd_prep``'s docstring). XLA's default semantics guarantee this
+    today, but a TPU toolchain bump could silently regress it, and a
+    corrupted finalize is worse than a slower one. So before the FIRST
+    ``optimize_dd`` dispatch of the process, run:
+
+    1. ``df64.selftest()`` — cancellation-heavy sum/dot vs f64 ground
+       truth (~1e-14 healthy, ~1e-7 if the EFTs are broken), and
+    2. a known-answer probe: a tiny perturbed 8-pose chain with one loop,
+       where the DD LM must reach (within 4x) the NumPy-f64 host LM's
+       optimum cost — exercising the real staged 4-program pipeline.
+
+    On failure the precision ladder (``optimize_chunked``,
+    ``parallel.batched._rescue_lane``) skips the DD tier and escalates
+    straight to the f64 host backstop — same answers, host-bound finalize.
+    The verdict is cached for the process lifetime.
+    """
+    global _DD_HEALTH
+    if _DD_HEALTH is not None:
+        return _DD_HEALTH
+    import warnings
+
+    from ..ops import df64
+
+    try:
+        err = df64.selftest()
+        healthy = err < 1e-12
+        if healthy and probe:
+            healthy = _dd_known_answer_probe()
+        if not healthy:
+            warnings.warn(
+                f"df64 selftest/probe failed (EFT error {err:.2e}) — the "
+                "emulated-f64 pose-graph tier is disabled; finalize falls "
+                "back to the f64 host LM (slower, same results)."
+            )
+    except Exception as e:  # a broken DD tier must never abort finalize
+        warnings.warn(f"df64 health check raised ({e}); DD tier disabled.")
+        healthy = False
+    _DD_HEALTH = healthy
+    return healthy
+
+
+def _dd_known_answer_probe() -> bool:
+    """Tiny perturbed chain whose f64 optimum is known: DD must match it."""
+    import numpy as np
+
+    F, L = 8, 4
+    rng = np.random.default_rng(7)
+    gt = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    gt[:, 0, 3] = np.arange(F, dtype=np.float32) * 1.2
+    odom_rel = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    odom_rel[1:, 0, 3] = 1.2
+    init = gt.copy()
+    init[1:, :3, 3] += rng.normal(0.0, 0.05, (F - 1, 3)).astype(np.float32)
+    lrel = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+    lrel[0, 0, 3] = (F - 1) * 1.2  # loop 0 -> F-1, consistent with odometry
+    st = PoseGraphState(
+        poses=jnp.asarray(init),
+        n_poses=jnp.int32(F),
+        odom_rel=jnp.asarray(odom_rel),
+        odom_valid=jnp.asarray(np.arange(F) >= 1),
+        odom_scale=jnp.ones((F,), jnp.float32),
+        loop_from=jnp.zeros((L,), jnp.int32),
+        loop_to=jnp.asarray(
+            np.where(np.arange(L) == 0, F - 1, 0).astype(np.int32)
+        ),
+        loop_rel=jnp.asarray(lrel),
+        loop_valid=jnp.asarray(np.arange(L) == 0),
+        n_loops=jnp.int32(1),
+        n_loops_dropped=jnp.int32(0),
+    )
+    cfg = PoseGraphConfig()
+    dd = optimize_dd(st, cfg)
+    host = optimize_host(st, cfg)
+    dd_cost = float(dd.final_error)
+    host_cost = float(host.final_error)
+    return bool(
+        np.isfinite(dd_cost)
+        and np.isfinite(np.asarray(dd.poses)).all()
+        and dd_cost <= max(4.0 * host_cost, host_cost + 1e-6)
+    )
+
+
 def optimize_dd(
     state: PoseGraphState,
     cfg: PoseGraphConfig = PoseGraphConfig(),
@@ -1266,12 +1364,16 @@ def optimize_chunked(
         timing["f32_s"] = _time.perf_counter() - t0
         timing["f32_it"] = total_it
         t0 = _time.perf_counter()
-    if not bool(res.converged) and cfg.solver == "woodbury":
+    if (not bool(res.converged) and cfg.solver == "woodbury"
+            and dd_backend_healthy()):
         # Device f32 LM stalled: the Woodbury K matrix needs ~1e-11 relative
         # precision at KITTI extents (f32 assembly makes it indefinite).
         # Escalate to the ON-DEVICE emulated-f64 solver (ops/df64.py) —
         # same factor model, K-pipeline in double-single arithmetic, one
-        # bounded dispatch per LM iteration.
+        # bounded dispatch per LM iteration. Gated by a one-time runtime
+        # selftest + known-answer probe (dd_backend_healthy): if a compiler
+        # change ever breaks the error-free transforms, we fall through to
+        # the f64 host backstop below instead of silently corrupting poses.
         res = optimize_dd(state, cfg, resume=res)
         total_it += int(res.iterations)
         if timing is not None:

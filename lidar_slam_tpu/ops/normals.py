@@ -281,10 +281,19 @@ def _radius_counts2(
     r_max_s = max(float(r) for r in radii)
     if 0 < window < N:
         ts = min(ts, M)
-        while M % ts:
-            ts -= 1
+        # pad the target to a multiple of the tile size (repeating the last
+        # row: its counts are recomputed then discarded, and it cannot widen
+        # the final tile's x-span) — shrinking ts to a divisor of a strided
+        # M = ceil(N/ps) could collapse to ts=1 (prime M) and turn the probe
+        # into an M-iteration scan
+        pad = -M % ts
+        if pad:
+            tgt = jnp.concatenate(
+                [tgt, jnp.broadcast_to(tgt[-1:], (pad, 3))], axis=0
+            )
+        Mp = M + pad
         x_mono = jax.lax.cummax(pts_m[:, 0])
-        tiles = tgt.reshape(M // ts, ts, 3)
+        tiles = tgt.reshape(Mp // ts, ts, 3)
         tile_min_x = jnp.min(tiles[:, :, 0], axis=1) - r_max_s
         starts = _searchsorted_left(x_mono, tile_min_x).astype(jnp.int32)
         starts = jnp.clip(starts, 0, max(N - window, 0))
@@ -302,7 +311,7 @@ def _radius_counts2(
             )
 
         _, cnts = jax.lax.scan(per_tile, None, (tiles, starts))
-        return tuple(c.reshape(M) for c in cnts)
+        return tuple(c.reshape(Mp)[:M] for c in cnts)
 
     c = min(chunk, N)
     while N % c:
@@ -392,6 +401,7 @@ def estimate_normals_adaptive(
             pts[::stride], mask[::stride], k=max(k // stride, 4),
             r_probe=r_probe,
             r_min=r_min, r_max=r_max, window=window, chunk=chunk, stride=1,
+            probe_stride=probe_stride,
         )
         n = jnp.repeat(sub, stride, axis=0)[:N]
         up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], pts.dtype), n.shape)
@@ -402,6 +412,11 @@ def estimate_normals_adaptive(
     # both probe radii in ONE pairwise-d2 sweep (the d2 dominates; a second
     # radius adds only a compare+sum) — saves a full count pass vs two calls
     ps = max(int(probe_stride), 1)
+    # the probe tile size shrinks as 256/ps (floored at 8) to keep each
+    # tile's x-band inside the slab window; past ps=32 the floor breaks
+    # that coverage guarantee (a tile would span 8*ps > 256 sorted rows)
+    if ps > 32:
+        raise ValueError(f"probe_stride must be <= 32, got {ps}")
     tgt = pts_m[::ps] if ps > 1 else None
     # strided probe tiles span ps x the x-range of full tiles; shrink the
     # tile size by ps so each tile's +-r_hi x-band stays inside ``window``

@@ -27,9 +27,12 @@ def _rescue_lane(st_b, pg_cfg) -> np.ndarray:
     pose_graph.optimize_chunked. Returns the optimized (F, 4, 4) poses."""
     from ..models import pose_graph as pg
 
-    res = pg.optimize_dd(st_b, pg_cfg)
-    if not bool(res.converged):
-        res = pg.optimize_host(st_b._replace(poses=res.poses), pg_cfg)
+    res = None
+    if pg.dd_backend_healthy():  # selftest + known-answer gate (see pose_graph)
+        res = pg.optimize_dd(st_b, pg_cfg)
+    if res is None or not bool(res.converged):
+        st = st_b if res is None else st_b._replace(poses=res.poses)
+        res = pg.optimize_host(st, pg_cfg)
     return np.asarray(res.poses)
 
 

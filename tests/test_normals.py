@@ -156,3 +156,26 @@ def test_adaptive_perpoint_radius_plane(rng):
     )
     np.testing.assert_allclose(n_scalar, n_vec, atol=1e-5)
     np.testing.assert_allclose(np.abs(n_vec[:, 2]), 1.0, atol=1e-3)
+
+
+def test_radius_counts_prime_strided_target(rng):
+    """ADVICE r3: a strided probe target of PRIME size must not collapse the
+    tile size to a divisor (worst case ts=1 -> an M-iteration scan). The
+    windowed path now pads the target to a tile multiple instead; counts
+    must equal the unpadded streaming path exactly."""
+    from lidar_slam_tpu.ops.normals import _radius_counts2
+
+    N = 4096
+    pts = rng.uniform(-20, 20, size=(N, 3)).astype(np.float32)
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    p = jnp.asarray(pts)
+    # ts mimics the adaptive caller (256 // probe_stride); M = 1366 is not
+    # a multiple of 85 (pad = 79) and its divisors near 85 are tiny
+    tgt = p[::3]
+    ts = 256 // 3
+    assert tgt.shape[0] % ts != 0
+    got = _radius_counts2(p, (2.0, 8.0), window=2048, ts=ts, tgt=tgt)
+    want = _radius_counts2(p, (2.0, 8.0), window=0, tgt=tgt)
+    for g, w in zip(got, want):
+        assert g.shape == (tgt.shape[0],)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

