@@ -37,15 +37,15 @@ Environment knobs:
   BENCH_WARM     (default 1)     constant-velocity ICP warm start
   BENCH_KNN      (default auto)  1-NN backend
   BENCH_HOST_VOX (default 1)     voxelize on host (C++ loader path)
-  BENCH_HOST_NRM (default 1)     1 = reference-exact k-NN PCA normals (k=20,
-                                 icp.hpp:23-67) from the C++ KD-tree in host
-                                 prep (the production prefetch workers
-                                 compute them overlapped with device compute,
-                                 like voxelization; ~160 ms/scan single-core,
-                                 untimed like the rest of prep and disk-
-                                 cached); 0 = on-device adaptive normals
-                                 (439.5 vs 185.5 scans/s at full scale,
-                                 ATE 6.171 vs 6.173 — same loops)
+  BENCH_HOST_NRM (default 0)     0 = on-device adaptive normals (the record
+                                 configuration: every per-scan computation
+                                 on device). 1 = reference-exact k-NN PCA
+                                 normals (k=20, icp.hpp:23-67) from the C++
+                                 KD-tree in host prep — untimed + disk-
+                                 cached, so only honest with enough prefetch
+                                 cores to overlap (~160 ms/scan single-core;
+                                 ~70 cores at the headline rate): a
+                                 disclosed VARIANT, not the record
   BENCH_ITERS    (default 20)    ICP max iterations
   BENCH_RESIDENT (default 1)     device-resident scan store (0 = stream)
   BENCH_MIDRUN   (default 0)     1 = optimize-on-find mid-run (reference
@@ -59,6 +59,24 @@ Environment knobs:
                                  config demo: full-density source, tol 1e-6,
                                  50 iters, identity init; JSON line reports
                                  BOTH scans/s and ate_m
+  BENCH_PSTRIDE  (default 2; northstar 0)  >1 = adaptive-normals count-probe
+                                 stride (device-normals configs; radius
+                                 field replication, moment PCA per-point)
+  BENCH_NSTRIDE  (default 0)     >1 = normals on every Nth point, replicated
+  BENCH_VCOARSE  (default 3; northstar 0)  >0 = coarse-to-fine verify warm
+                                 start: N fixed GN iterations on a 512-pt
+                                 subset before the full verify loop (cuts
+                                 the vmapped lockstep fine-phase count;
+                                 detection-identical at full scale)
+  BENCH_RINGS    (default 0)     1 = 64-beam ring-raycast scans (occlusion,
+                                 anisotropic ring density — the realistic
+                                 regime) instead of uniform surface sampling
+  BENCH_NODD     (default 0)     1 = skip the on-device emulated-f64
+                                 finalize tier; stalled f32 chunks escalate
+                                 straight to the f64 host LM (timed either
+                                 way; fair finalize-tier choice)
+  BENCH_SAVE_LOOPS (default "")  path: dump accepted loop constraints for
+                                 tools/mirror_fullscale.py phase 2
 """
 
 from __future__ import annotations
@@ -123,6 +141,16 @@ def main() -> int:
     if os.environ.get("BENCH_CPU", "0") == "1":
         jax.config.update("jax_platforms", "cpu")
 
+    # BENCH_NODD=1: skip the on-device emulated-f64 finalize tier and
+    # escalate the stalled f32 chunks straight to the f64 HOST LM (same
+    # optimum; the host solve is ~1 s vs ~4.4 s of DD Cholesky dispatches
+    # at 149 loops — both run INSIDE the timed loop, so this is a fair
+    # finalize-tier choice, not an accounting trick).
+    if os.environ.get("BENCH_NODD", "0") == "1":
+        from lidar_slam_tpu.models import pose_graph as _pg
+
+        _pg.reset_dd_health(False)
+
     from lidar_slam_tpu.config import ICPConfig, LoopClosureConfig, SlamConfig
     from lidar_slam_tpu.models.pipeline import SlamEngine
     from lidar_slam_tpu.utils.dataset import (
@@ -151,19 +179,50 @@ def main() -> int:
         signal.alarm(0)
 
     half = route_half_for(frames)
-    # Corridor world: full-density ground/buildings within sensor range of
-    # the route only (a 750 m-radius route at full areal density would need
-    # ~100M points).
-    world = generate_world(0, route_half=half, corridor=60.0)
     gt = generate_trajectory(frames, half=half)
-    renderer = ScanRenderer(world)
-    log(
-        f"world: {len(world) / 1e6:.1f}M pts, route radius {half:.0f} m "
-        f"({frames} frames x ~1.2 m)"
-    )
+    # BENCH_RINGS=1: render with the 64-beam ring raycaster (HDL-64-like
+    # azimuth x elevation grid, nearest-hit occlusion, range noise/dropout —
+    # utils/dataset.render_scan_rings) instead of the uniform-density
+    # surface sampler. Ring statistics are the realistic case the reference
+    # validates on (/root/reference/README.md:259-261): anisotropic density,
+    # near-collinear single-ring arcs at range — normals and ICP work
+    # harder. Prep is cached like the default world's.
+    rings = os.environ.get("BENCH_RINGS", "0") == "1"
+    if rings:
+        from lidar_slam_tpu.utils.dataset import (
+            generate_world_geom,
+            render_scan_rings,
+        )
 
+        geom = generate_world_geom(0, route_half=half)
+        log(
+            f"ring world: {len(geom.boxes)} boxes / {len(geom.cylinders)} "
+            f"cylinders, route radius {half:.0f} m ({frames} frames x ~1.2 m)"
+        )
+
+        def render_frame(pose, rng_, max_points):
+            s = render_scan_rings(geom, pose, rng_)
+            return s[:max_points]
+    else:
+        # Corridor world: full-density ground/buildings within sensor range
+        # of the route only (a 750 m-radius route at full areal density
+        # would need ~100M points).
+        world = generate_world(0, route_half=half, corridor=60.0)
+        renderer = ScanRenderer(world)
+        log(
+            f"world: {len(world) / 1e6:.1f}M pts, route radius {half:.0f} m "
+            f"({frames} frames x ~1.2 m)"
+        )
+
+        def render_frame(pose, rng_, max_points):
+            return renderer.render(pose, rng_, max_points=max_points)
+
+    # Default: ALL per-scan compute on device (device adaptive normals).
+    # BENCH_HOST_NRM=1 moves reference-exact k-NN normals into host prep —
+    # faster headline but only honest with enough prefetch cores to overlap
+    # (~160 ms/scan single-core); it is a disclosed VARIANT, not the record.
     host_vox = os.environ.get("BENCH_HOST_VOX", "1") == "1"
-    host_nrm = os.environ.get("BENCH_HOST_NRM", "1") == "1" and host_vox
+    host_nrm = os.environ.get("BENCH_HOST_NRM", "0") == "1" and host_vox
     voxel_size = 0.5
 
     cfg = SlamConfig(
@@ -179,8 +238,13 @@ def main() -> int:
         lc=LoopClosureConfig(
             verify_sample=4096, verify_tolerance=icp_tol,
             yaw_seed=os.environ.get("BENCH_YAWSEED", "0") == "1",
+            # coarse-to-fine verify default ON in fast mode (northstar
+            # pins it to 0 above): detection-identical at full scale
+            # (149 loops either way) and the better-converged loop
+            # transforms also warm the finalize LM (DD tier 16 -> 6
+            # iterations) — measured +28 scans/s total
             verify_coarse_iterations=int(
-                os.environ.get("BENCH_VCOARSE", 0)
+                os.environ.get("BENCH_VCOARSE", 3)
             ),
         ),
         knn_backend=knn_backend,
@@ -196,9 +260,13 @@ def main() -> int:
         cfg = cfg.replace(normal_stride=nstride)
     # >1: strided adaptive count probes (radius-field replication over the
     # voxel-sorted cloud; moment PCA stays exact per point) — device-normals
-    # configs only.
-    pstride = int(os.environ.get("BENCH_PSTRIDE", 0))
-    if pstride:
+    # configs only. Default 2 in fast mode (measured: p90 normal delta <1.5
+    # degrees, full-scale ATE 6.125 vs 6.173, +10 scans/s); northstar mode
+    # keeps the unstrided probes.
+    pstride = int(
+        os.environ.get("BENCH_PSTRIDE", 0 if mode == "northstar" else 2)
+    )
+    if pstride and not host_nrm:
         cfg = cfg.replace(normal_probe_stride=pstride)
     log(
         f"config: F={cfg.max_frames} ds={ds_pts} lc={cfg.lc_points} "
@@ -219,6 +287,8 @@ def main() -> int:
     cache_read = None
     if os.environ.get("BENCH_CACHE", "1") == "1":
         key = f"f{frames}_r{raw_pts}_d{ds_pts}_v{voxel_size}_hv{int(host_vox)}_hn{int(host_nrm)}"
+        if rings:
+            key += "_rings1"
         cache = f"/tmp/lidar_bench_prep_{key}.npz"
         cache_read = cache
         if not host_nrm and host_vox and not os.path.exists(cache):
@@ -250,7 +320,7 @@ def main() -> int:
         if host_nrm:
             from lidar_slam_tpu.utils.native import normals_knn_host
         for i in range(frames):
-            s = renderer.render(gt[i], rng, max_points=raw_pts)
+            s = render_frame(gt[i], rng, max_points=raw_pts)
             if host_vox:
                 s = voxel_downsample_host(s, voxel_size, ds_pts)
             prepared.append(s)
@@ -330,14 +400,16 @@ def main() -> int:
     run()
     log(f"warmup run: {time.perf_counter() - t0:.1f}s")
 
-    # best of N timed runs (shared-tunnel environment jitter is ~2x)
-    wall = float("inf")
+    # best of N timed runs (shared-tunnel environment jitter is ~2x);
+    # every run's wall is recorded alongside so the spread is on record
+    walls = []
     for rep in range(runs):
         t0 = time.perf_counter()
         run()
         w = time.perf_counter() - t0
         log(f"timed run {rep}: {w:.2f}s ({frames / w:.1f} scans/s)")
-        wall = min(wall, w)
+        walls.append(w)
+    wall = min(walls)
     sps = frames / wall
 
     rec = {
@@ -345,6 +417,7 @@ def main() -> int:
         "value": round(sps, 2),
         "unit": "scans/s",
         "vs_baseline": round(sps / 200.0, 3),
+        "runs_scans_per_sec": [round(frames / w, 1) for w in walls],
     }
     # Accuracy lives NEXT TO speed in the recorded line (fetch watchdogged:
     # a wedged tunnel must never block the driver's JSON record).

@@ -22,6 +22,8 @@ import time
 
 
 def _build_config(args):
+    import dataclasses
+
     from .config import (
         ICPConfig,
         OccupancyGridConfig,
@@ -33,12 +35,57 @@ def _build_config(args):
         base = tiny_config()
     else:
         base = SlamConfig()
+
+    # --fast / --fidelity mode presets (explicit flags below override them).
+    # fidelity = the reference's exact runtime settings (types.hpp:143-148,
+    #   icp.hpp:174 identity init, slam_node.cpp:112-115 optimize-on-find,
+    #   full-density correspondence, exact 1-NN) — the configuration the
+    #   parity/validation claims are measured at.
+    # fast = the benchmarked throughput configuration (bench.py defaults /
+    #   docs/PERF.md): warm-started ICP on a 4096-point source subsample,
+    #   tol 3e-4 / 20 iters, fused slab-match Pallas 1-NN, cadence-spanning
+    #   dispatch blocks, deferred (finalize-time) optimization — equivalence
+    #   measured and disclosed per knob in PERF.md.
+    if args.mode == "fidelity":
+        base = base.replace(
+            icp=dataclasses.replace(
+                base.icp, max_iterations=50, tolerance=1e-6,
+                sample_points=0, target_points=0, warm_start=False,
+            ),
+            lc=dataclasses.replace(
+                base.lc, verify_sample=0, verify_tolerance=1e-6,
+                verify_coarse_iterations=0, yaw_seed=False,
+            ),
+            knn_backend="auto",
+            optimize_midrun=True,
+        )
+    elif args.mode == "fast":
+        base = base.replace(
+            icp=dataclasses.replace(
+                base.icp, max_iterations=20, tolerance=3e-4,
+                sample_points=4096, warm_start=True,
+            ),
+            lc=dataclasses.replace(
+                base.lc, verify_sample=4096, verify_tolerance=3e-4,
+                verify_coarse_iterations=3,
+            ),
+            knn_backend="slab_pallas",
+            dispatch_block=50,
+            optimize_midrun=False,
+            normal_probe_stride=2,
+        )
     cfg = base.replace(
         voxel_size=args.voxel_size,
-        icp=base.icp.__class__(
-            max_iterations=args.max_iterations,
-            tolerance=args.tolerance if args.tolerance is not None else base.icp.tolerance,
-            normal_k=base.icp.normal_k,
+        icp=dataclasses.replace(
+            base.icp,
+            max_iterations=(
+                args.max_iterations if args.max_iterations is not None
+                else base.icp.max_iterations
+            ),
+            tolerance=(
+                args.tolerance if args.tolerance is not None
+                else base.icp.tolerance
+            ),
         ),
         grid=OccupancyGridConfig(
             resolution=args.grid_resolution,
@@ -59,6 +106,22 @@ def _build_config(args):
         cfg = cfg.replace(max_frames=args.max_frames)
     if args.knn_backend:
         cfg = cfg.replace(knn_backend=args.knn_backend)
+    if args.icp_sample is not None:
+        cfg = cfg.replace(
+            icp=dataclasses.replace(cfg.icp, sample_points=args.icp_sample)
+        )
+    if args.warm_start:
+        cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, warm_start=True))
+    if args.dispatch_block is not None:
+        cfg = cfg.replace(dispatch_block=args.dispatch_block)
+    if args.normal_method:
+        cfg = cfg.replace(normal_method=args.normal_method)
+    if args.probe_stride:
+        cfg = cfg.replace(normal_probe_stride=args.probe_stride)
+    if args.normal_stride:
+        cfg = cfg.replace(normal_stride=args.normal_stride)
+    if args.no_midrun_optimize:
+        cfg = cfg.replace(optimize_midrun=False)
     return cfg
 
 
@@ -139,6 +202,68 @@ def cmd_run(args) -> int:
             threads=2, start=start_frame,
         )
     t_start = time.perf_counter()
+    if args.resident:
+        # The benchmarked steady state: one upfront upload, scalar-only
+        # dispatches (models/pipeline.preload docstring). Host prep (load /
+        # voxelize / normals) is timed and reported separately — the total
+        # wall below includes it.
+        t0 = time.perf_counter()
+        prepared, prep_normals = [], [] if cfg.host_normals else None
+        for i in range(start_frame, len(frames)):
+            if cfg.host_normals:
+                p, nr = loader.get_with_normals(i)
+                prep_normals.append(nr)
+            else:
+                p = loader.get(i)
+            prepared.append(p)
+        t_prep = time.perf_counter() - t0
+        engine.preload(prepared, normals=prep_normals)
+        t0 = time.perf_counter()
+        engine.run_preloaded()
+        engine.finalize()
+        import numpy as _np
+
+        _np.asarray(engine.state.n_poses)  # honest device sync
+        t_dev = time.perf_counter() - t0
+        print(
+            f"resident run: prep {t_prep:.1f}s + upload/device "
+            f"{t_dev:.1f}s ({(len(frames) - start_frame) / t_dev:.1f} "
+            "scans/s device-side)"
+        )
+    else:
+        _run_streaming(args, cfg, engine, frames, loader, start_frame, period)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace -> {args.profile}")
+    wall = time.perf_counter() - t_start
+    sps = (len(frames) - start_frame) / wall
+
+    extra = {"scans_per_sec": sps, "wall_sec": wall}
+
+    gt = None
+    gt_path = os.path.join(args.data_dir, "poses_gt.txt")
+    if os.path.exists(gt_path):
+        from .utils.dataset import load_gt_poses
+        from .utils.metrics import ate_rmse, rpe
+
+        gt = load_gt_poses(gt_path)
+        traj = engine.trajectory()
+        extra["ate_rmse"] = ate_rmse(traj, gt)
+        extra["rpe_trans"], extra["rpe_rot"] = rpe(traj, gt)
+        print(f"ATE RMSE: {extra['ate_rmse']:.3f} m")
+    export.export_all(args.out_dir, engine, extra, gt=gt)
+    print(
+        f"done: {len(frames)} scans in {wall:.1f}s ({sps:.1f} scans/s), "
+        f"loops={int(engine.state.loop_count)} -> {args.out_dir}"
+    )
+    return 0
+
+
+def _run_streaming(args, cfg, engine, frames, loader, start_frame, period):
+    from .utils import export
+
     for i, (_, path) in enumerate(frames):
         if i < start_frame:
             continue
@@ -171,33 +296,6 @@ def cmd_run(args) -> int:
             if dt < period:
                 time.sleep(period - dt)
     engine.finalize()
-    if args.profile:
-        import jax
-
-        jax.profiler.stop_trace()
-        print(f"profiler trace -> {args.profile}")
-    wall = time.perf_counter() - t_start
-    sps = (len(frames) - start_frame) / wall
-
-    extra = {"scans_per_sec": sps, "wall_sec": wall}
-
-    gt = None
-    gt_path = os.path.join(args.data_dir, "poses_gt.txt")
-    if os.path.exists(gt_path):
-        from .utils.dataset import load_gt_poses
-        from .utils.metrics import ate_rmse, rpe
-
-        gt = load_gt_poses(gt_path)
-        traj = engine.trajectory()
-        extra["ate_rmse"] = ate_rmse(traj, gt)
-        extra["rpe_trans"], extra["rpe_rot"] = rpe(traj, gt)
-        print(f"ATE RMSE: {extra['ate_rmse']:.3f} m")
-    export.export_all(args.out_dir, engine, extra, gt=gt)
-    print(
-        f"done: {len(frames)} scans in {wall:.1f}s ({sps:.1f} scans/s), "
-        f"loops={int(engine.state.loop_count)} -> {args.out_dir}"
-    )
-    return 0
 
 
 def cmd_run_batch(args) -> int:
@@ -277,9 +375,18 @@ def main(argv=None) -> int:
     r.add_argument("--voxel-size", type=float, default=0.5)
     r.add_argument("--playback-rate", type=float, default=0.0,
                    help="Hz throttle; 0 = as fast as possible")
-    r.add_argument("--max-iterations", type=int, default=50)
+    r.add_argument("--max-iterations", type=int, default=None,
+                   help="ICP iteration budget (default: mode's)")
     r.add_argument("--tolerance", type=float, default=None,
-                   help="ICP |delta-error| tolerance (default: preset's)")
+                   help="ICP |delta-error| tolerance (default: mode's)")
+    r.add_argument(
+        "--mode", choices=["default", "fast", "fidelity"], default="default",
+        help="fast = the benchmarked throughput configuration (PERF.md: "
+        "warm-started subsampled ICP, slab_pallas 1-NN, dispatch blocks, "
+        "deferred optimization); fidelity = reference-exact runtime "
+        "settings (50 iters, tol 1e-6, identity init, full density, exact "
+        "1-NN, optimize-on-find). Explicit flags override the mode.",
+    )
     r.add_argument("--grid-resolution", type=float, default=0.2)
     r.add_argument("--height-min", type=float, default=0.3)
     r.add_argument("--height-max", type=float, default=2.0)
@@ -292,12 +399,38 @@ def main(argv=None) -> int:
     r.add_argument("--max-frames", type=int, default=0)
     r.add_argument(
         "--knn-backend",
-        choices=["auto", "pallas", "xla", "slab", "grid"],
+        choices=["auto", "pallas", "xla", "slab", "grid", "slab_pallas"],
         default="",
         help="1-NN search backend (auto = exact brute force: pallas on TPU, "
-        "xla elsewhere; slab/grid are faster pruned searches — see PERF.md)",
+        "xla elsewhere; slab/grid/slab_pallas are faster pruned searches — "
+        "slab_pallas is the benchmarked fused kernel, exact under the "
+        "warm-start motion bound; see PERF.md)",
     )
     r.add_argument("--preset", choices=["default", "tiny"], default="default")
+    r.add_argument("--dispatch-block", type=int, default=None,
+                   help="scans per device dispatch (amortizes the ~2.5-6 ms "
+                   "per-dispatch cost; 0/1 = one dispatch per scan)")
+    r.add_argument("--icp-sample", type=int, default=None,
+                   help="ICP source subsample (0 = register every point)")
+    r.add_argument("--warm-start", action="store_true",
+                   help="seed ICP with the previous accepted delta "
+                   "(constant-velocity model) instead of identity")
+    r.add_argument("--normal-method",
+                   choices=["adaptive", "radius", "knn"], default="",
+                   help="normal estimator (see SlamConfig.normal_method)")
+    r.add_argument("--probe-stride", type=int, default=0,
+                   help="adaptive-normals count-probe stride (>1 replicates "
+                   "the smooth radius field; moment PCA stays per-point)")
+    r.add_argument("--normal-stride", type=int, default=0,
+                   help=">1: normals on every Nth sorted point, replicated")
+    r.add_argument("--no-midrun-optimize", action="store_true",
+                   help="defer ALL pose-graph optimization to finalize "
+                   "(detection- and final-ATE-exact; saves a bounded LM "
+                   "chunk per firing tick — see SlamConfig.optimize_midrun)")
+    r.add_argument("--resident", action="store_true",
+                   help="upload the whole (prepared) dataset to the device "
+                   "once and run with scalar-only dispatches (the "
+                   "benchmarked steady state; needs the dataset to fit HBM)")
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
     r.add_argument("--no-host-voxelize", action="store_true",
                    help="voxelize on device instead of in the loader workers")

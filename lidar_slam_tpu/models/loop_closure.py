@@ -42,7 +42,7 @@ from ..config import ICPConfig, LoopClosureConfig, ScanContextConfig
 from ..ops import se3
 from ..ops.icp import icp_point_to_plane
 from ..ops.scan_context import sc_distances, scan_context, shift_to_yaw
-from ..types import PointCloud
+from ..types import PointCloud, strided_prefix_idx
 
 
 class KeyframeDB(NamedTuple):
@@ -75,24 +75,15 @@ def init_db(max_frames: int, n_points: int, sc: ScanContextConfig) -> KeyframeDB
 
 
 def subsample_idx(cloud: PointCloud, n_out: int) -> jnp.ndarray:
-    """Strided subsample indices over the valid prefix (spatially fair)."""
-    cnt = cloud.count()
-    j = jnp.arange(n_out)
-    return jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
+    """Strided subsample indices over the valid prefix (spatially fair);
+    thin alias of the shared :func:`lidar_slam_tpu.types.strided_prefix_idx`."""
+    return strided_prefix_idx(cloud.count(), n_out)
 
 
 def subsample(cloud: PointCloud, n_out: int) -> PointCloud:
-    """Deterministic strided subsample to the DB cloud size.
-
-    Valid points first (they are contiguous after voxel downsample), evenly
-    strided so spatial coverage is preserved (a prefix slice would be
-    spatially biased — the voxel output is sorted by packed voxel key).
-    """
-    n_in = cloud.points.shape[0]
-    if n_out >= n_in:
-        return cloud
-    idx = subsample_idx(cloud, n_out)
-    return PointCloud(cloud.points[idx], cloud.mask[idx])
+    """Deterministic strided subsample to the DB cloud size
+    (:meth:`PointCloud.subsample`)."""
+    return cloud.subsample(n_out)
 
 
 def add_frame(

@@ -48,7 +48,7 @@ from ..ops.icp import icp_point_to_plane
 from ..ops.normals import estimate_normals, estimate_normals_radius
 from ..ops.occupancy import empty_grid, update_occupancy
 from ..ops.voxel import voxel_downsample
-from ..types import PointCloud
+from ..types import PointCloud, strided_prefix_idx
 from . import loop_closure as lc
 from . import pose_graph as pg
 
@@ -1103,12 +1103,8 @@ class SlamEngine:
             clouds_b = jax.lax.dynamic_slice_in_dim(clouds, f0, BLOCK)
             masks_b = jax.lax.dynamic_slice_in_dim(masks, f0, BLOCK)
             if ppf < clouds_b.shape[1]:
-                cnt = jnp.sum(masks_b, axis=1)
-                j = jnp.arange(ppf)
-                sel = jnp.where(
-                    cnt[:, None] > ppf, (j[None, :] * cnt[:, None]) // ppf,
-                    j[None, :],
-                ).astype(jnp.int32)
+                # batched form of the shared strided-prefix subsample
+                sel = strided_prefix_idx(jnp.sum(masks_b, axis=1), ppf)
                 clouds_b = jnp.take_along_axis(clouds_b, sel[:, :, None], axis=1)
                 masks_b = jnp.take_along_axis(masks_b, sel, axis=1)
             world = se3.apply(poses_b, clouds_b)

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ICPConfig
-from ..types import ICPResult, PointCloud
+from ..types import ICPResult, PointCloud, strided_prefix_idx
 from . import se3
 from .knn import nn1
 from .linalg import solve_psd_small
@@ -124,23 +124,11 @@ def icp_point_to_plane(
     if init_transform is None:
         init_transform = se3.identity(src.points.dtype)
 
-    def subsample(cloud: PointCloud, n_out: int) -> PointCloud:
-        # strided subsample of the valid prefix (valid points are contiguous
-        # after voxel downsampling)
-        cnt = cloud.count()
-        j = jnp.arange(n_out)
-        sel = jnp.where(cnt > n_out, (j * cnt) // n_out, j).astype(jnp.int32)
-        return PointCloud(cloud.points[sel], cloud.mask[sel])
-
     if 0 < config.target_points < tgt.points.shape[0]:
         # Strided target subsample (see ICPConfig.target_points): the
         # correspondence search runs against the reduced set; normals are
         # gathered with the same stride so indices stay consistent.
-        cnt = tgt.count()
-        j = jnp.arange(config.target_points)
-        t_idx = jnp.where(
-            cnt > config.target_points, (j * cnt) // config.target_points, j
-        ).astype(jnp.int32)
+        t_idx = strided_prefix_idx(tgt.count(), config.target_points)
         tgt = PointCloud(tgt.points[t_idx], tgt.mask[t_idx])
         tgt_normals = tgt_normals[t_idx]
 
@@ -171,11 +159,11 @@ def icp_point_to_plane(
     )
     full_src = src
     if 0 < config.sample_points < src.points.shape[0]:
-        src = subsample(src, config.sample_points)
+        src = src.subsample(config.sample_points)
 
     # Coarse warm start: a few fixed GN steps on a small source subset.
     if config.coarse_iterations > 0 and config.coarse_sample < src.points.shape[0]:
-        csrc = subsample(full_src, config.coarse_sample)
+        csrc = full_src.subsample(config.coarse_sample)
         cw = csrc.mask.astype(csrc.points.dtype)
         cdenom = jnp.maximum(jnp.sum(cw), 1.0)
 

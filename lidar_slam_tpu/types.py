@@ -44,6 +44,20 @@ class PointCloud(NamedTuple):
         """Centroid-at-origin copy (reference types.hpp:49-52)."""
         return PointCloud(self.points - self.centroid()[..., None, :], self.mask)
 
+    def subsample(self, n_out: int) -> "PointCloud":
+        """Deterministic strided subsample of the valid prefix.
+
+        Valid points first (contiguous after voxel downsampling), evenly
+        strided so spatial coverage is preserved — a prefix slice would be
+        spatially biased, because voxel output is sorted by packed voxel
+        key. The single shared implementation behind ICP source/target
+        subsampling, the loop-closure DB cloud cap, and the blocked global-
+        map assembly."""
+        if n_out >= self.capacity:
+            return self
+        idx = strided_prefix_idx(self.count(), n_out)
+        return PointCloud(self.points[idx], self.mask[idx])
+
     @staticmethod
     def from_numpy(pts: np.ndarray, capacity: int) -> "PointCloud":
         """Pad a host (n,3) array to ``capacity`` rows with a validity mask."""
@@ -53,6 +67,19 @@ class PointCloud(NamedTuple):
         mask = np.zeros((capacity,), bool)
         mask[:n] = True
         return PointCloud(jnp.asarray(out), jnp.asarray(mask))
+
+
+def strided_prefix_idx(cnt: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Indices of an evenly-strided ``n_out``-subsample of a valid prefix.
+
+    ``cnt`` is the valid-prefix length — a traced scalar, or any batched
+    shape (a trailing axis is added for broadcasting, so a ``(B,)`` count
+    vector yields ``(B, n_out)`` row indices). When ``cnt <= n_out`` the
+    first ``n_out`` rows are returned unchanged (identity gather over the
+    padded region)."""
+    j = jnp.arange(n_out)
+    c = jnp.asarray(cnt)[..., None]
+    return jnp.where(c > n_out, (j * c) // n_out, j).astype(jnp.int32)
 
 
 class ICPResult(NamedTuple):

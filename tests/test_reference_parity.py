@@ -96,3 +96,99 @@ def test_odometry_trajectory_parity(sequence):
     # mirror and engine must both track GT; engine within mirror + 5%-band
     # (absolute floor of 5 cm for near-zero mirror ATE)
     assert tpu_ate <= max(ref_ate * 1.25, ref_ate + 0.05), (tpu_ate, ref_ate)
+
+
+def test_full_slam_parity_vs_mirror_at_scale():
+    """VERDICT r3 item 8: docs/VALIDATION.md's manual full-SLAM parity claim,
+    promoted into CI at medium scale (300-frame ring-raycast route whose
+    final 1/8 revisits the start).
+
+    The f64 reference mirror runs the C++ odometry math at reference
+    settings (50 iters, tol 1e-6, identity init — types.hpp:143-148,
+    icp.hpp:174); its backend stand-in is pose_graph.optimize_host — the
+    same f64 LM / factor model GTSAM runs (prior + fitness-scaled odometry
+    + loops, pose_graph.cpp:81-171) — applied to the mirror odometry with
+    the ENGINE's accepted loop constraints. Reference bar:
+    slam_node.cpp:118-185 (frontend + backend). The engine's full-SLAM ATE
+    must be <= 1.05x the mirror-with-backend's (BASELINE.json criterion),
+    with a small absolute floor for near-equal scores.
+
+    Disclosed deviations, both harmless to the comparison: (a) the loop
+    fitness threshold is raised to 0.45 for the SHARED loop set (the
+    reference's 0.3 assumes KITTI density ~0.25 m point spacing; these
+    0.5 m-voxel 32-beam clouds sit at ~0.3 aligned plane-RMS) — parity is
+    about trajectory math on the same constraints, not the threshold;
+    (b) the engine runs the benchmarked fast configuration (warm start,
+    source subsample, tol 3e-4 — the config the headline ATE is claimed
+    at), which only handicaps the engine against the exact-settings mirror.
+    """
+    import dataclasses
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.config import (
+        ICPConfig,
+        LoopClosureConfig,
+        OccupancyGridConfig,
+        SlamConfig,
+    )
+    from lidar_slam_tpu.models import pose_graph as pg
+    from lidar_slam_tpu.utils.dataset import generate_world_geom, render_scan_rings
+
+    n = 300
+    half = route_half_for(n)
+    geom = generate_world_geom(0, route_half=half)
+    gt = generate_trajectory(n, half=half)
+    rng = np.random.default_rng(0)
+    scans = [
+        render_scan_rings(geom, gt[i], rng, n_beams=32, n_azimuth=384)
+        for i in range(n)
+    ]
+
+    cfg = SlamConfig(
+        max_raw_points=16384, max_points=4096, lc_cloud_points=2048,
+        max_frames=n + 8, max_loop_factors=64,
+        icp=ICPConfig(max_iterations=20, tolerance=3e-4, sample_points=2048,
+                      warm_start=True),
+        lc=LoopClosureConfig(icp_fitness_threshold=0.45),
+        grid=OccupancyGridConfig(grid_dim=1024),
+        normal_probe_stride=2, normal_window=2048,
+    )
+    eng = SlamEngine(cfg)
+    for s in scans:
+        eng.push_scan(s)
+    eng.finalize()
+    eng_ate = ate_rmse(eng.trajectory(), gt)
+    pgs = eng.state.pg
+    n_loops = int(pgs.n_loops)
+    assert n_loops >= 3, f"route must close loops, got {n_loops}"
+
+    # f64 mirror odometry at reference-exact settings
+    mirror_poses, stats = ref_odometry(
+        scans, voxel_size=0.5, max_iterations=50, tolerance=1e-6
+    )
+    errs = np.zeros(n)
+    errs[1:] = [s[0] for s in stats]  # fitness-scaled sigmas (pose_graph.cpp:88)
+    odom_rel = np.einsum(
+        "nij,njk->nik", np.linalg.inv(mirror_poses[:-1]), mirror_poses[1:]
+    )
+    mstate = pg.PoseGraphState(
+        poses=jnp.asarray(mirror_poses, jnp.float32),
+        n_poses=jnp.int32(n),
+        odom_rel=jnp.asarray(
+            np.concatenate([np.eye(4)[None], odom_rel], 0), jnp.float32
+        ),
+        odom_valid=jnp.asarray(np.arange(n) >= 1),
+        odom_scale=jnp.asarray(1.0 + 10.0 * np.asarray(errs), jnp.float32),
+        loop_from=pgs.loop_from,
+        loop_to=pgs.loop_to,
+        loop_rel=pgs.loop_rel,
+        loop_valid=pgs.loop_valid,
+        n_loops=pgs.n_loops,
+        n_loops_dropped=jnp.int32(0),
+    )
+    mres = pg.optimize_host(mstate, cfg.pg)
+    mirror_full_ate = ate_rmse(np.asarray(mres.poses), gt)
+
+    assert eng_ate <= max(mirror_full_ate * 1.05, mirror_full_ate + 0.05), (
+        eng_ate, mirror_full_ate, ate_rmse(mirror_poses.astype(np.float32), gt),
+    )
