@@ -250,6 +250,10 @@ def main() -> int:
         knn_backend=knn_backend,
         optimize_midrun=midrun,
         host_normals=host_nrm,
+        # slab_pallas contiguous-window width; the fused NN pass cost is
+        # linear in it. 4096 is provably ample under the warm-start motion
+        # bound; BENCH_SLABWIN probes narrower windows (ATE must hold).
+        slab_window=int(os.environ.get("BENCH_SLABWIN", 4096)),
     )
     if noloop:
         cfg = cfg.replace(loop_check_every=10**9)

@@ -68,13 +68,38 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=0, help="0 = all")
     ap.add_argument("--max-points", type=int, default=32768)
     ap.add_argument("--voxel", type=float, default=0.5)
-    ap.add_argument("--sample", type=int, default=4096,
-                    help="ICP source subsample (0 = full density)")
-    ap.add_argument("--tol", type=float, default=3e-4)
+    ap.add_argument("--sample", type=int, default=None,
+                    help="ICP source subsample (0 = full density; "
+                    "default: mode's — fast 4096, fidelity 0)")
+    ap.add_argument("--tol", type=float, default=None,
+                    help="ICP tolerance (default: mode's — fast 3e-4, "
+                    "fidelity 1e-6)")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="ICP iteration budget (default: mode's — fast 20, "
+                    "fidelity 50)")
     ap.add_argument("--knn", default="auto")
+    ap.add_argument(
+        "--fidelity", action="store_true",
+        help="run the REFERENCE's exact runtime settings (full-density "
+        "source, tol 1e-6, 50 iterations, identity init, exact 1-NN, "
+        "optimize-on-find — types.hpp:143-148, icp.hpp:174, "
+        "slam_node.cpp:112-115) instead of the benchmarked fast "
+        "configuration; this is the setting reference comparisons should "
+        "be quoted at",
+    )
     ap.add_argument("--out", default=None,
                     help="append the result row to this markdown file")
     args = ap.parse_args()
+    if args.fidelity:
+        sample = 0 if args.sample is None else args.sample
+        tol = 1e-6 if args.tol is None else args.tol
+        iters = 50 if args.iters is None else args.iters
+        warm, midrun, vcoarse = False, True, 0
+    else:
+        sample = 4096 if args.sample is None else args.sample
+        tol = 3e-4 if args.tol is None else args.tol
+        iters = 20 if args.iters is None else args.iters
+        warm, midrun, vcoarse = True, False, 3
 
     velo_dir = os.path.join(args.sequence, "velodyne")
     bins = sorted(glob.glob(os.path.join(velo_dir, "*.bin")))
@@ -139,10 +164,16 @@ def main() -> int:
         host_voxelize=True,
         dispatch_block=10,
         voxel_size=args.voxel,
-        icp=ICPConfig(sample_points=args.sample, tolerance=args.tol,
-                      max_iterations=20, warm_start=True),
-        lc=LoopClosureConfig(verify_sample=4096, verify_tolerance=args.tol),
+        icp=ICPConfig(sample_points=sample, tolerance=tol,
+                      max_iterations=iters, warm_start=warm),
+        lc=LoopClosureConfig(
+            verify_sample=0 if args.fidelity else 4096,
+            verify_tolerance=tol,
+            verify_coarse_iterations=vcoarse,
+        ),
         knn_backend=args.knn,
+        optimize_midrun=midrun,
+        normal_probe_stride=1 if args.fidelity else 2,
     )
     eng = SlamEngine(cfg)
     eng.preload(prepared)
