@@ -390,7 +390,8 @@ def make_block_step_fn(config: SlamConfig, block: int,
 
 
 def make_resident_block_fn(config: SlamConfig, block: int,
-                           nn1_fn: Optional[Callable] = None):
+                           nn1_fn: Optional[Callable] = None,
+                           frame_offset: int = 0):
     """Process ``block`` consecutive scans sliced from a DEVICE-RESIDENT scan
     store in one dispatch — the only per-dispatch operands are scalars.
 
@@ -403,23 +404,28 @@ def make_resident_block_fn(config: SlamConfig, block: int,
     fetch, at healthy bandwidth) and slicing it on device makes the
     steady-state loop transfer-free.
 
-    Signature: ``fn(state, scans (T, N, 3), counts (T,), frame0[, normals])
-    -> state`` processing frames ``frame0 .. frame0+block-1`` = the
-    same-named rows of ``scans``. ``scans``/``counts`` (and the optional
-    resident ``normals`` store, config.host_normals) are NOT donated — pass
-    the same device arrays every call.
+    Signature: ``fn(state, scans (T, N, 3), counts (T,), row0[, normals])
+    -> state`` processing rows ``row0 .. row0+block-1`` of ``scans`` as
+    frames ``row0+frame_offset ..`` (``frame_offset`` is the dataset frame
+    index of row 0 — nonzero only when a resumed run preloads the remaining
+    tail of the dataset). ``scans``/``counts`` (and the optional resident
+    ``normals`` store, config.host_normals) are NOT donated — pass the same
+    device arrays every call.
     """
     body = _make_step_body(config, nn1_fn)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def resident_block_fn(state: SlamState, scans, counts, frame0,
+    def resident_block_fn(state: SlamState, scans, counts, row0,
                           normals=None) -> SlamState:
-        frame0 = frame0.astype(jnp.int32)
-        raw_blk = jax.lax.dynamic_slice_in_dim(scans, frame0, block)
-        cnt_blk = jax.lax.dynamic_slice_in_dim(counts, frame0, block)
+        row0 = row0.astype(jnp.int32)
+        # guard keeps the frame_offset=0 HLO identical to the historical
+        # signature (the persistent-cache entries stay valid)
+        frame0 = row0 + frame_offset if frame_offset else row0
+        raw_blk = jax.lax.dynamic_slice_in_dim(scans, row0, block)
+        cnt_blk = jax.lax.dynamic_slice_in_dim(counts, row0, block)
         xs = (raw_blk, cnt_blk, jnp.arange(block, dtype=jnp.int32))
         if normals is not None:
-            xs = xs + (jax.lax.dynamic_slice_in_dim(normals, frame0, block),)
+            xs = xs + (jax.lax.dynamic_slice_in_dim(normals, row0, block),)
 
         def scan_body(st, inp):
             pts, cnt, k = inp[:3]
@@ -732,6 +738,7 @@ class SlamEngine:
         self._pending: list = []  # buffered (raw, count[, normals]) tuples
         self._resident = None     # (scans_dev (T,N,3), counts_dev (T,))
         self._resident_normals = None  # (T,N,3) host-normal store (optional)
+        self._resident_frame0 = 0  # dataset frame index of store row 0
         self._resident_block_fn = None
         self.state = init_state(config)
         self._frame = 0
@@ -918,8 +925,13 @@ class SlamEngine:
 
     # -- resident-scan execution (transfer-free steady state) ---------------
 
-    def preload(self, scans: list, normals: Optional[list] = None) -> None:
+    def preload(self, scans: list, normals: Optional[list] = None,
+                frame0: int = 0) -> None:
         """Upload all prepared scans to the device ONCE as a (T, N, 3) store.
+
+        ``frame0``: the dataset frame index of ``scans[0]`` — pass the resume
+        frame when preloading only the unprocessed tail of a dataset (row
+        ``i`` of the store is frame ``frame0 + i``).
 
         Call BEFORE any result fetch: on tunneled runtimes a single
         device->host fetch permanently degrades upload bandwidth ~30x (see
@@ -969,9 +981,12 @@ class SlamEngine:
             upload(normals) if normals is not None else None
         )
         self._resident = (store, jnp.asarray(cnt))
+        if getattr(self, "_resident_frame0", 0) != frame0:
+            self._resident_block_fn = None  # offset is baked into the jit
+        self._resident_frame0 = frame0
         if self._block > 1 and self._resident_block_fn is None:
             self._resident_block_fn = make_resident_block_fn(
-                self.config, self._block
+                self.config, self._block, frame_offset=frame0
             )
 
     def run_preloaded(self) -> None:
@@ -981,29 +996,36 @@ class SlamEngine:
             raise ValueError("call preload(scans) first")
         scans, counts = self._resident
         nrm = getattr(self, "_resident_normals", None)
-        T = int(scans.shape[0])
+        row0 = getattr(self, "_resident_frame0", 0)  # frame index of row 0
+        if self._frame < row0:
+            raise ValueError(
+                f"preload(frame0={row0}) starts past engine frame "
+                f"{self._frame} — preload the missing frames too"
+            )
+        T = int(scans.shape[0])  # rows; frames covered: row0 .. row0+T-1
         if self._frame == 0 and T > 0:
             kw0 = {} if nrm is None else {"raw_normals": nrm[0]}
             self.state = self._init_fn(self.state, scans[0], counts[0], **kw0)
             self._frame = 1
         B = self._block if self._block > 1 else 1
         f = self._frame
-        while f < T:
+        while f < row0 + T:
             lo = f
-            if B > 1 and f + B <= T:
+            r = f - row0
+            if B > 1 and r + B <= T:
                 kw = {} if nrm is None else {"normals": nrm}
                 self.state = self._resident_block_fn(
-                    self.state, scans, counts, jnp.int32(f), **kw
+                    self.state, scans, counts, jnp.int32(r), **kw
                 )
                 f += B
             else:
-                kw = {} if nrm is None else {"raw_normals": nrm[f]}
+                kw = {} if nrm is None else {"raw_normals": nrm[r]}
                 self.state = self._step_fn(
-                    self.state, scans[f], counts[f], jnp.int32(f), **kw
+                    self.state, scans[r], counts[r], jnp.int32(f), **kw
                 )
                 f += 1
             self._run_ticks(lo, f - 1)
-        self._frame = T
+        self._frame = row0 + T
 
     def flush(self) -> None:
         """Make ``state`` current: dispatch any buffered scans (block mode).

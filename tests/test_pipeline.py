@@ -290,6 +290,43 @@ def test_resident_mode_equivalence():
     assert int(e3.state.n_poses) == 11
 
 
+def test_resident_resume_offset(tmp_path):
+    """Resuming a checkpointed run with a TAIL-ONLY preload: store row i is
+    dataset frame frame0+i (preload(frame0=...)), so block slicing must use
+    ROW indices while step/tick frame numbers stay absolute. Regression for
+    an off-by-start_frame bug where run_preloaded indexed rows by absolute
+    frame number."""
+    n, k = 24, 9  # resume point NOT a block multiple: exercises the
+    half = route_half_for(n)  # per-step tail path before the first block
+    world = generate_world(0, route_half=half)
+    gt = generate_trajectory(n, half=half)
+    rng = np.random.default_rng(0)
+    scans = [render_scan(world, gt[i], rng, max_points=1500) for i in range(n)]
+    cfg = tiny_config(dispatch_block=2)
+
+    e1 = SlamEngine(cfg)
+    for s in scans:
+        e1.push_scan(s)
+    e1.finalize()
+
+    e2 = SlamEngine(cfg)
+    for s in scans[:k]:
+        e2.push_scan(s)
+    e2.flush()
+    ckpt = str(tmp_path / "state.npz")
+    e2.save_checkpoint(ckpt)
+
+    e3 = SlamEngine(cfg)
+    e3.load_checkpoint(ckpt)
+    e3.preload(scans[k:], frame0=k)
+    e3.run_preloaded()
+    e3.finalize()
+    assert int(e3.state.n_poses) == n
+    assert np.abs(e1.trajectory() - e3.trajectory()).max() < 1e-6
+    m1, m3 = e1.metrics(), e3.metrics()
+    assert m1["loop_count"] == m3["loop_count"]
+
+
 def test_block_dispatch_partial_tail_flush():
     """A dataset length that is not a block multiple still processes every
     frame (flush dispatches the partial tail as single steps)."""
