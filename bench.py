@@ -68,6 +68,12 @@ Environment knobs:
                                  subset before the full verify loop (cuts
                                  the vmapped lockstep fine-phase count;
                                  detection-identical at full scale)
+  BENCH_YAWSEED  (default 1; northstar 0)  seed verify ICP's yaw from the
+                                 SC best shift (quirk #8 improvement) —
+                                 detection-identical at full scale on both
+                                 worlds, +8% scans/s on rings, neutral on
+                                 the corridor; northstar keeps the
+                                 reference's identity init
   BENCH_RINGS    (default 0)     1 = 64-beam ring-raycast scans (occlusion,
                                  anisotropic ring density — the realistic
                                  regime) instead of uniform surface sampling
@@ -128,6 +134,7 @@ def main() -> int:
         # (slam_node.cpp:112-115), identity-init verification
         midrun = os.environ.get("BENCH_MIDRUN", "1") == "1"
         os.environ.setdefault("BENCH_VCOARSE", "0")
+        os.environ.setdefault("BENCH_YAWSEED", "0")  # identity verify init
         # 'auto' resolves to an EXACT 1-NN on every platform (Pallas brute
         # force on TPU, streamed XLA brute force on CPU) — reference
         # fidelity needs exactness, not a specific kernel.
@@ -237,7 +244,13 @@ def main() -> int:
                       warm_start=warm),
         lc=LoopClosureConfig(
             verify_sample=4096, verify_tolerance=icp_tol,
-            yaw_seed=os.environ.get("BENCH_YAWSEED", "0") == "1",
+            # SC best-shift yaw seeding for verify ICP (quirk #8 — the
+            # reference uses identity init, loop_closure.hpp:105-109):
+            # detection-identical at full scale on BOTH worlds (149/167
+            # loops, same ATE), neutral on the corridor, +8% on rings
+            # (the seeded verify lanes converge in fewer lockstep
+            # iterations). Default ON in fast mode; northstar pins it off.
+            yaw_seed=os.environ.get("BENCH_YAWSEED", "1") == "1",
             # coarse-to-fine verify default ON in fast mode (northstar
             # pins it to 0 above): detection-identical at full scale
             # (149 loops either way) and the better-converged loop

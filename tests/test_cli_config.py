@@ -47,6 +47,7 @@ def test_fast_mode_is_the_benchmarked_config():
     assert cfg.normal_probe_stride == 2
     assert cfg.lc.verify_sample == 4096
     assert cfg.lc.verify_coarse_iterations == 3
+    assert cfg.lc.yaw_seed
 
 
 def test_fidelity_mode_is_reference_exact():
