@@ -169,7 +169,12 @@ def main() -> int:
 
         _pg.reset_dd_health(False)
 
-    from lidar_slam_tpu.config import ICPConfig, LoopClosureConfig, SlamConfig
+    from lidar_slam_tpu.config import (
+        ICPConfig,
+        LoopClosureConfig,
+        PoseGraphConfig,
+        SlamConfig,
+    )
     from lidar_slam_tpu.models.pipeline import SlamEngine
     from lidar_slam_tpu.utils.dataset import (
         ScanRenderer,
@@ -274,6 +279,11 @@ def main() -> int:
         knn_backend=knn_backend,
         optimize_midrun=midrun,
         host_normals=host_nrm,
+        # BENCH_DDSOLVE=pcg: the f32-preconditioned DD PCG finalize tier
+        # (df64.solve_pcg_staged; retries with the direct DD Cholesky from
+        # the original poses if its forward-error floor stalls LM)
+        pg=(PoseGraphConfig(dd_solve=os.environ["BENCH_DDSOLVE"])
+            if os.environ.get("BENCH_DDSOLVE") else PoseGraphConfig()),
         # slab_pallas contiguous-window width; the fused NN pass cost is
         # linear in it. 4096 is provably ample under the warm-start motion
         # bound; BENCH_SLABWIN probes narrower windows (ATE must hold).
