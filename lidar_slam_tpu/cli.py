@@ -151,7 +151,13 @@ def cmd_run(args) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     cfg = _build_config(args)
-    if not args.max_frames:
+    if args.resume:
+        # the checkpoint's arrays pin every capacity — auto-sizing
+        # max_frames here would break load_state's shape check whenever
+        # the checkpoint was written under a different dataset length;
+        # pass --max-frames (and --max-points) to match the checkpoint
+        pass
+    elif not args.max_frames:
         # right-size the keyframe-DB capacity to the dataset (+ slack): the
         # DB-linear costs (SC retrieval matmul, candidate gathers, finalize
         # occupancy rebuild) and ~0.8 GiB of HBM per 1,000 frames of
@@ -181,7 +187,8 @@ def cmd_run(args) -> int:
     start_frame = 0
     if args.resume:
         # the checkpoint requires an identical config, so auto-sizing from
-        # the data is skipped on resume (pass --max-points to match)
+        # the data is skipped on resume (pass --max-points / --max-frames
+        # to match the checkpoint's capacities)
         engine = SlamEngine(cfg)
         engine.load_checkpoint(args.resume)
         start_frame = engine.n_frames
@@ -213,6 +220,18 @@ def cmd_run(args) -> int:
         # dispatches (models/pipeline.preload docstring). Host prep (load /
         # voxelize / normals) is timed and reported separately — the total
         # wall below includes it.
+        for flag, name in (
+            (args.checkpoint_every, "--checkpoint-every"),
+            (args.export_every, "--export-every"),
+            (args.playback_rate, "--playback-rate"),
+        ):
+            if flag:
+                print(
+                    f"{name} only applies to the streaming path and is "
+                    "ignored with --resident (the resident run dispatches "
+                    "the whole dataset without per-frame host control)",
+                    file=sys.stderr,
+                )
         t0 = time.perf_counter()
         prepared, prep_normals = [], [] if cfg.host_normals else None
         for i in range(start_frame, len(frames)):

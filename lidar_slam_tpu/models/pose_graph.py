@@ -980,13 +980,20 @@ def dd_backend_healthy(probe: bool = True) -> bool:
     try:
         err = df64.selftest()
         healthy = err < 1e-12
-        if healthy and probe:
-            healthy = _dd_known_answer_probe()
+        if not healthy:
+            cause = f"df64 selftest failed (EFT error {err:.2e})"
+        elif probe and not _dd_known_answer_probe():
+            healthy = False
+            cause = (
+                "df64 known-answer probe failed (selftest EFT error "
+                f"{err:.2e} is healthy, but the staged DD LM missed the "
+                "f64 host optimum on the probe graph)"
+            )
         if not healthy:
             warnings.warn(
-                f"df64 selftest/probe failed (EFT error {err:.2e}) — the "
-                "emulated-f64 pose-graph tier is disabled; finalize falls "
-                "back to the f64 host LM (slower, same results)."
+                f"{cause} — the emulated-f64 pose-graph tier is disabled; "
+                "finalize falls back to the f64 host LM (slower, same "
+                "results)."
             )
     except Exception as e:  # a broken DD tier must never abort finalize
         warnings.warn(f"df64 health check raised ({e}); DD tier disabled.")

@@ -170,6 +170,10 @@ def main() -> int:
             verify_sample=0 if args.fidelity else 4096,
             verify_tolerance=tol,
             verify_coarse_iterations=vcoarse,
+            # keep the three 'fast' configurations identical (bench.py
+            # defaults / CLI --mode fast): yaw-seeded verify init; fidelity
+            # pins the reference's identity init (loop_closure.hpp:105-109)
+            yaw_seed=not args.fidelity,
         ),
         knn_backend=args.knn,
         optimize_midrun=midrun,

@@ -105,7 +105,19 @@ def main() -> int:
                     flush=True,
                 )
 
-    done = F if not os.path.exists(args.ckpt) else int(np.load(args.ckpt)["done"])
+    if os.path.exists(args.ckpt):
+        done = int(np.load(args.ckpt)["done"])
+    elif args.loops:
+        # --loops with no odometry checkpoint would run phase 2 on the
+        # all-identity poses array and record a bogus anchor — refuse.
+        print(
+            f"error: --loops requires a COMPLETED odometry checkpoint at "
+            f"{args.ckpt}; run phase 1 (no --loops) first",
+            flush=True,
+        )
+        return 1
+    else:
+        done = F  # phase 1 just ran to completion in this invocation
     if done < F:
         print(f"odometry incomplete ({done}/{F}); rerun to resume")
         return 1
