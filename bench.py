@@ -77,6 +77,18 @@ Environment knobs:
                                  worlds, +8% scans/s on rings, neutral on
                                  the corridor; northstar keeps the
                                  reference's identity init
+  BENCH_VREJECT  (default 0.6; northstar 0)  coarse-phase early-reject
+                                 threshold (lc.verify_coarse_reject): lanes
+                                 whose 3-iteration coarse plane RMS exceeds
+                                 it skip the 30-iteration lockstep fine
+                                 verify (they'd be rejected there anyway —
+                                 accept-set-identical at full scale on both
+                                 worlds, measured margin >= 32% below the
+                                 threshold; tools/profile_ring_loops.py).
+                                 Kills the ring world's dominant cost: 283
+                                 of 340 firing ticks skip the fine phase
+                                 entirely. 0 = off (reference behavior:
+                                 every candidate gets the full budget)
   BENCH_RINGS    (default 0)     1 = 64-beam ring-raycast scans (occlusion,
                                  anisotropic ring density — the realistic
                                  regime) instead of uniform surface sampling
@@ -146,6 +158,7 @@ def main() -> int:
         midrun = os.environ.get("BENCH_MIDRUN", "1") == "1"
         os.environ.setdefault("BENCH_VCOARSE", "0")
         os.environ.setdefault("BENCH_YAWSEED", "0")  # identity verify init
+        os.environ.setdefault("BENCH_VREJECT", "0")  # full verify budget
         # 'auto' resolves to an EXACT 1-NN on every platform (Pallas brute
         # force on TPU, streamed XLA brute force on CPU) — reference
         # fidelity needs exactness, not a specific kernel.
@@ -274,6 +287,13 @@ def main() -> int:
             # iterations) — measured +28 scans/s total
             verify_coarse_iterations=int(
                 os.environ.get("BENCH_VCOARSE", 3)
+            ),
+            # coarse-phase early reject (requires VCOARSE > 0): accept-set-
+            # identical at full scale on both worlds with the accepted
+            # lanes' coarse RMS maxing at 0.455 (corridor lower) vs the 0.6
+            # gate — see tools/profile_ring_loops.py audits in PERF.md
+            verify_coarse_reject=float(
+                os.environ.get("BENCH_VREJECT", 0.6)
             ),
         ),
         knn_backend=knn_backend,

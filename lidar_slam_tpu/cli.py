@@ -68,6 +68,7 @@ def _build_config(args):
             lc=dataclasses.replace(
                 base.lc, verify_sample=4096, verify_tolerance=3e-4,
                 verify_coarse_iterations=3, yaw_seed=True,
+                verify_coarse_reject=0.6,
             ),
             knn_backend="slab_pallas",
             dispatch_block=50,

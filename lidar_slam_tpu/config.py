@@ -100,6 +100,21 @@ class LoopClosureConfig:
     # 0 = off (reference behavior: identity init, loop_closure.hpp:105-109).
     verify_coarse_iterations: int = 0
     verify_coarse_sample: int = 512
+    # >0: coarse-phase EARLY REJECT (requires verify_coarse_iterations > 0).
+    # After the coarse warm start, each candidate lane's coarse-sample plane
+    # RMS is compared against this threshold; lanes above it are marked
+    # hopeless and the expensive fine verify loop (up to icp_max_iterations
+    # of full-sample 1-NN, run in vmapped LOCKSTEP — a single non-converging
+    # false candidate pins the whole tranche at the full budget) skips them;
+    # a tranche whose lanes are ALL hopeless skips the fine phase entirely.
+    # Rejected lanes report converged=False / fitness=inf — the same verdict
+    # the reference's 30-iteration walk hands a non-converging candidate
+    # (loop_closure.hpp:110-123), reached at a few percent of the cost. The
+    # threshold must sit well above every to-be-accepted lane's coarse RMS
+    # (tools/profile_ring_loops.py measures the margin per world; the accept
+    # set is equivalence-measured in PERF.md before a value ships).
+    # 0 = off (every candidate gets the full fine budget).
+    verify_coarse_reject: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from ..config import ICPConfig, LoopClosureConfig, ScanContextConfig
 from ..ops import se3
-from ..ops.icp import icp_point_to_plane
+from ..ops.icp import _plane_error, icp_point_to_plane, solve_point_to_plane
+from ..ops.knn import nn1
 from ..ops.scan_context import sc_distances, scan_context, shift_to_yaw
 from ..types import PointCloud, strided_prefix_idx
 
@@ -151,6 +152,12 @@ class LoopDetections(NamedTuple):
     transform: jnp.ndarray    # (M, 4, 4) — maps query sensor frame -> match frame
     sc_distance: jnp.ndarray  # (M,)
     icp_fitness: jnp.ndarray  # (M,)
+    # instrumentation (VERDICT r4 item 3 — is the tranche bound binding?):
+    coarse_fitness: jnp.ndarray  # (M,) coarse-phase plane RMS (inf when the
+    #   lane's tranche never ran or verify_coarse_iterations == 0)
+    n_valid: jnp.ndarray      # () int32 — candidates passing the SC gate
+    #   (may exceed M: the reference's unbounded walk would see them all)
+    fine_fired: jnp.ndarray   # () bool — >=1 fine verify phase ran this call
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sc_cfg", "nn1_fn"))
@@ -247,11 +254,20 @@ def detect(
     cand_masks = take_rows(db.cloud_mask, cand_idx)  # (M, N)
     cand_normals = take_rows(db.normals, cand_idx)   # (M, N, 3)
 
+    # Coarse warm start is HOISTED out of the per-lane ICP (vc > 0): the
+    # fine loop below gets coarse_iterations=0 and is seeded with the hoisted
+    # coarse transform instead — bit-identical composition (the hoisted
+    # phase replicates ops/icp.py:164-182 exactly, tested in
+    # test_loop_closure.test_hoisted_coarse_matches_nested) that additionally
+    # exposes each lane's coarse-sample plane RMS for the early-reject gate
+    # and for instrumentation (LoopDetections.coarse_fitness).
+    vc = cfg.verify_coarse_iterations
+    do_coarse = vc > 0 and cfg.verify_coarse_sample < db.clouds.shape[1]
     icp_cfg = ICPConfig(
         max_iterations=cfg.icp_max_iterations,
         tolerance=cfg.verify_tolerance,
         sample_points=cfg.verify_sample,
-        coarse_iterations=cfg.verify_coarse_iterations,
+        coarse_iterations=0,
         coarse_sample=cfg.verify_coarse_sample,
     )
 
@@ -278,36 +294,118 @@ def detect(
         )
         return res.transformation, res.converged, res.final_error
 
+    # Hoisted coarse phase (see note at icp_cfg): a plain-callable backend
+    # only — the engine's verify backend is the plain exact kernel; prepared/
+    # fused backends stay inside icp_point_to_plane.
+    nn_fn = nn1_fn if nn1_fn is not None else (lambda s, t, m: nn1(s, t, m))
+    if do_coarse:
+        q_disp = PointCloud(
+            jnp.where(query_cloud.mask[:, None], query_cloud.points, 1.0e6),
+            query_cloud.mask,
+        )
+        csrc = q_disp.subsample(cfg.verify_coarse_sample)
+        cw = csrc.mask.astype(csrc.points.dtype)
+        cdenom = jnp.maximum(jnp.sum(cw), 1.0)
+
+        def coarse_phase(cloud, mask, normals, T0):
+            """ops/icp.py:164-182's coarse warm start, bit-identical, plus
+            the coarse-sample plane RMS at the resulting transform (the
+            early-reject / instrumentation statistic)."""
+
+            def match_query(cur):
+                idx, _ = nn_fn(cur, cloud, mask)
+                return cloud[idx], normals[idx]
+
+            def body(i, T):
+                cur = se3.apply(T, csrc.points)
+                matched, nrm = match_query(cur)
+                delta = solve_point_to_plane(
+                    cur, matched, nrm, csrc.mask, icp_cfg.solver_damping
+                )
+                return se3.compose(delta, T)
+
+            T = jax.lax.fori_loop(
+                0, vc, body, jnp.asarray(T0, csrc.points.dtype)
+            )
+            cur = se3.apply(T, csrc.points)
+            matched, nrm = match_query(cur)
+            cerr = _plane_error(cur, matched, nrm, cw, cdenom)
+            return T, cerr
+
     def skipped(k):
         return (
             jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (k, 4, 4)),
             jnp.zeros((k,), bool),
             jnp.full((k,), jnp.inf, jnp.float32),
+            jnp.full((k,), jnp.inf, jnp.float32),  # coarse_fitness
+            jnp.bool_(False),                      # fine_fired
         )
+
+    reject = cfg.verify_coarse_reject if do_coarse else 0.0
 
     def tranche(sl, run_gate):
         """Verify candidates [sl : sl + K) iff ``run_gate`` (traced bool)."""
+        cl = cand_clouds[sl : sl + K]
+        mk = cand_masks[sl : sl + K]
+        nr = cand_normals[sl : sl + K]
+        T0 = init_T[sl : sl + K]
+        valid = cand_valid[sl : sl + K]
+
+        if not do_coarse:
+
+            def run(_):
+                tf, conv, fit = jax.vmap(verify)(cl, mk, nr, T0, ~valid)
+                return (
+                    tf, conv, fit,
+                    jnp.full((K,), jnp.inf, jnp.float32),
+                    jnp.bool_(True),
+                )
+
+            return jax.lax.cond(run_gate, run, lambda _: skipped(K),
+                                operand=None)
+
         def run(_):
-            return jax.vmap(verify)(
-                cand_clouds[sl : sl + K],
-                cand_masks[sl : sl + K],
-                cand_normals[sl : sl + K],
-                init_T[sl : sl + K],
-                ~cand_valid[sl : sl + K],
-            )
+            Tc, cerr = jax.vmap(coarse_phase)(cl, mk, nr, T0)
+            if reject > 0:
+                hopeless = cerr > reject
+            else:
+                hopeless = jnp.zeros((K,), bool)
+            inact = ~valid | hopeless
+            fine_gate = jnp.any(~inact)
 
-        return jax.lax.cond(run_gate, run, lambda _: skipped(K), operand=None)
+            def fine(_):
+                return jax.vmap(verify)(cl, mk, nr, Tc, inact)
 
-    tf, conv, fit = tranche(0, jnp.any(cand_valid[:K]))
+            def no_fine(_):
+                return (
+                    Tc,
+                    jnp.zeros((K,), bool),
+                    jnp.full((K,), jnp.inf, jnp.float32),
+                )
+
+            tf, conv, fit = jax.lax.cond(fine_gate, fine, no_fine,
+                                         operand=None)
+            # a coarse-rejected lane reports the verdict the reference's
+            # full walk would hand a non-converging candidate
+            conv = conv & ~hopeless
+            fit = jnp.where(hopeless, jnp.inf, fit)
+            return tf, conv, fit, cerr, fine_gate
+
+        return jax.lax.cond(run_gate, run, lambda _: skipped(K),
+                            operand=None)
+
+    tf, conv, fit, cerr, fine_any = tranche(0, jnp.any(cand_valid[:K]))
     acc0 = cand_valid[:K] & conv & (fit < cfg.icp_fitness_threshold)
     n_acc = jnp.sum(acc0.astype(jnp.int32))
     for t in range(1, NT):
         sl = t * K
         gate = (n_acc < K) & jnp.any(cand_valid[sl : sl + K])
-        tf_t, conv_t, fit_t = tranche(sl, gate)
+        tf_t, conv_t, fit_t, cerr_t, ff_t = tranche(sl, gate)
         tf = jnp.concatenate([tf, tf_t], axis=0)
         conv = jnp.concatenate([conv, conv_t], axis=0)
         fit = jnp.concatenate([fit, fit_t], axis=0)
+        cerr = jnp.concatenate([cerr, cerr_t], axis=0)
+        fine_any = fine_any | ff_t
         acc_t = cand_valid[sl : sl + K] & conv_t & (
             fit_t < cfg.icp_fitness_threshold
         )
@@ -325,4 +423,7 @@ def detect(
         transform=tf,
         sc_distance=cand_dist,
         icp_fitness=fit,
+        coarse_fitness=cerr,
+        n_valid=jnp.sum(cand_ok.astype(jnp.int32)),
+        fine_fired=fine_any,
     )

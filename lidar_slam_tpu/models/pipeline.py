@@ -71,6 +71,15 @@ class SlamState(NamedTuple):
     verify_fired: jnp.ndarray     # () int32 — ticks whose SC gate passed
     #   candidates into ICP verification (cost attribution: firing ticks are
     #   ~15x a non-firing tick's cost at bench shapes, tools/profile_detect)
+    verify_fine_fired: jnp.ndarray  # () int32 — firing ticks where at least
+    #   one candidate survived the coarse early-reject gate into the fine
+    #   verify loop (== verify_fired when lc.verify_coarse_reject == 0)
+    verify_bound_hit: jnp.ndarray   # () int32 — firing ticks where the
+    #   bounded tranche walk stopped short of the reference's unbounded
+    #   verify-until-accepted walk (more SC-gate candidates existed than the
+    #   M = max_candidates * (1 + verify_extra_tranches) bound AND fewer
+    #   than max_candidates were accepted — the reference would have kept
+    #   verifying, loop_closure.hpp:96-123)
     pending_optimize: jnp.ndarray # () bool — loop accepted since last optimize
     # per-frame metrics (the reference logs these, slam_node.cpp:169-174)
     icp_error: jnp.ndarray        # (F,)
@@ -199,6 +208,8 @@ def init_state(config: SlamConfig) -> SlamState:
         occ_dropped=jnp.int32(0),
         loop_count=jnp.int32(0),
         verify_fired=jnp.int32(0),
+        verify_fine_fired=jnp.int32(0),
+        verify_bound_hit=jnp.int32(0),
         pending_optimize=jnp.bool_(False),
         icp_error=jnp.zeros((F,), jnp.float32),
         icp_iters=jnp.zeros((F,), jnp.int32),
@@ -502,10 +513,23 @@ def _make_loop_body(config: SlamConfig, in_graph_optimize: bool = True):
         # A finite sc_distance survives the candidate mask -> this tick ran
         # ICP verification (firing ticks are the loop-machinery cost driver).
         fired = jnp.any(jnp.isfinite(det.sc_distance)).astype(jnp.int32)
+        # Bound-binding instrumentation (VERDICT r4 item 3): the reference's
+        # verify-until-accepted walk is unbounded (loop_closure.hpp:96-123);
+        # this tick had more SC-gate candidates than the tranche bound M and
+        # still accepted fewer than max_candidates — the reference would
+        # have kept walking.
+        M = det.accepted.shape[0]
+        bound_hit = (
+            (det.n_valid > M) & (n_found < config.lc.max_candidates)
+        ).astype(jnp.int32)
         state = state._replace(
             pg=pg_state,
             loop_count=state.loop_count + n_found,
             verify_fired=state.verify_fired + fired,
+            verify_fine_fired=(
+                state.verify_fine_fired + det.fine_fired.astype(jnp.int32)
+            ),
+            verify_bound_hit=state.verify_bound_hit + bound_hit,
             pending_optimize=jnp.logical_or(state.pending_optimize, n_found > 0),
         )
         # Optimize in-graph when a loop was found (slam_node.cpp:112-115).
@@ -566,8 +590,9 @@ def make_loop_fn_split(config: SlamConfig, in_graph_optimize: bool = True):
     crosses the program boundary in either direction.
 
     Returns ``fn(state, frame) -> ((pg, poses, loop_count, verify_fired,
-    pending), det)``; stitch with ``state._replace(...)`` on the host (free
-    — it only swaps pytree leaves).
+    verify_fine_fired, verify_bound_hit, pending), det)``; stitch with
+    ``state._replace(...)`` on the host (free — it only swaps pytree
+    leaves).
     """
     body = _make_loop_body(config, in_graph_optimize)
 
@@ -579,6 +604,8 @@ def make_loop_fn_split(config: SlamConfig, in_graph_optimize: bool = True):
             new_state.poses,
             new_state.loop_count,
             new_state.verify_fired,
+            new_state.verify_fine_fired,
+            new_state.verify_bound_hit,
             new_state.pending_optimize,
         ), det
 
@@ -600,8 +627,9 @@ def make_multi_tick_fn(config: SlamConfig, in_graph_optimize: bool = True):
     for unused slots (boundary blocks) — a -1 query rejects every candidate.
 
     Returns ``fn(state, frames) -> (pg, poses, loop_count, verify_fired,
-    pending)``; stitch with ``state._replace`` on the host. Only the small
-    mutated arrays cross the program boundary (see make_loop_fn_split).
+    verify_fine_fired, verify_bound_hit, pending)``; stitch with
+    ``state._replace`` on the host. Only the small mutated arrays cross the
+    program boundary (see make_loop_fn_split).
     """
     body = _make_loop_body(config, in_graph_optimize)
 
@@ -611,19 +639,22 @@ def make_multi_tick_fn(config: SlamConfig, in_graph_optimize: bool = True):
         # as a closed-over loop invariant (a full-state carry would make XLA
         # thread GB-scale pass-through buffers through the loop).
         def tick(small, f):
-            pg_s, poses, lc_n, vf_n, pend = small
+            pg_s, poses, lc_n, vf_n, vff_n, vbh_n, pend = small
             st = state._replace(
                 pg=pg_s, poses=poses, loop_count=lc_n,
-                verify_fired=vf_n, pending_optimize=pend,
+                verify_fired=vf_n, verify_fine_fired=vff_n,
+                verify_bound_hit=vbh_n, pending_optimize=pend,
             )
             st, _ = body(st, f)
             return (
                 st.pg, st.poses, st.loop_count, st.verify_fired,
+                st.verify_fine_fired, st.verify_bound_hit,
                 st.pending_optimize,
             ), ()
 
         init = (
             state.pg, state.poses, state.loop_count, state.verify_fired,
+            state.verify_fine_fired, state.verify_bound_hit,
             state.pending_optimize,
         )
         out, _ = jax.lax.scan(tick, init, frames.astype(jnp.int32))
@@ -839,12 +870,13 @@ class SlamEngine:
                 and self._frame % cfg.loop_check_every == 0
                 and self._frame > cfg.loop_start_frame
             ):
-                (pg_s, poses, lc_n, vf_n, pend), det = self._loop_fn(
-                    self.state, jnp.int32(self._frame)
+                (pg_s, poses, lc_n, vf_n, vff_n, vbh_n, pend), det = (
+                    self._loop_fn(self.state, jnp.int32(self._frame))
                 )
                 self.state = self.state._replace(
                     pg=pg_s, poses=poses, loop_count=lc_n,
-                    verify_fired=vf_n, pending_optimize=pend,
+                    verify_fired=vf_n, verify_fine_fired=vff_n,
+                    verify_bound_hit=vbh_n, pending_optimize=pend,
                 )
                 if sync_info:
                     acc = np.asarray(det.accepted)
@@ -875,19 +907,21 @@ class SlamEngine:
             out = self._multi_tick_fn(
                 self.state, jnp.asarray(padded[: self._n_ticks], jnp.int32)
             )
-            pg_s, poses, lc_n, vf_n, pend = out
+            pg_s, poses, lc_n, vf_n, vff_n, vbh_n, pend = out
             self.state = self.state._replace(
                 pg=pg_s, poses=poses, loop_count=lc_n,
-                verify_fired=vf_n, pending_optimize=pend,
+                verify_fired=vf_n, verify_fine_fired=vff_n,
+                verify_bound_hit=vbh_n, pending_optimize=pend,
             )
         else:
             for fr in frames:
-                (pg_s, poses, lc_n, vf_n, pend), _ = self._loop_fn(
-                    self.state, jnp.int32(fr)
+                (pg_s, poses, lc_n, vf_n, vff_n, vbh_n, pend), _ = (
+                    self._loop_fn(self.state, jnp.int32(fr))
                 )
                 self.state = self.state._replace(
                     pg=pg_s, poses=poses, loop_count=lc_n,
-                    verify_fired=vf_n, pending_optimize=pend,
+                    verify_fired=vf_n, verify_fine_fired=vff_n,
+                    verify_bound_hit=vbh_n, pending_optimize=pend,
                 )
 
     def _dispatch_pending(self) -> None:
@@ -1096,6 +1130,16 @@ class SlamEngine:
             # loop-detection ticks whose SC gate passed candidates into ICP
             # verification (firing ticks dominate loop-machinery cost)
             "verify_fired": int(self.state.verify_fired),
+            # firing ticks where >=1 lane survived the coarse early-reject
+            # gate into the fine verify loop (== verify_fired when
+            # lc.verify_coarse_reject == 0)
+            "verify_fine_fired": int(self.state.verify_fine_fired),
+            # firing ticks where the bounded tranche walk stopped short of
+            # the reference's unbounded verify-until-accepted walk
+            # (loop_closure.hpp:96-123) — nonzero means the engine may
+            # accept fewer loops than the reference; raise
+            # lc.verify_extra_tranches if it correlates with lost loops
+            "verify_bound_hit": int(self.state.verify_bound_hit),
             # accepted loops dropped because max_loop_factors was exhausted
             "loops_dropped": int(self.state.pg.n_loops_dropped),
             # in-range points whose cell fell outside the occupancy grid —

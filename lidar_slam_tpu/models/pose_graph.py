@@ -1089,11 +1089,15 @@ def optimize_dd(
                 cost = float(c0)
             if cfg.dd_solve == "pcg":
                 # fast tier: system assembly on device, host-driven
-                # f32-preconditioned DD PCG for alpha, back-substitution
-                # on device — every hand-off materialized
+                # f32-preconditioned DD PCG + outer-system iterative
+                # refinement for alpha (df64.solve_pcg_refined — the
+                # refinement makes the forward error backward-consistent,
+                # which the ~9-order Woodbury cancellation in fin
+                # requires), back-substitution on device — every hand-off
+                # materialized
                 Kdd, btv, y1 = fns["sys"](r0, g_diag, G, X, Dinv, segf,
                                           lo, hi)
-                alpha = df64.solve_pcg_staged(Kdd, btv)
+                alpha = df64.solve_pcg_refined(Kdd, btv)
                 d = fns["fin"](y1, alpha, G, X, Dinv, segf)
             else:
                 d = fns["core"](r0, g_diag, G, X, Dinv, segf, lo, hi)

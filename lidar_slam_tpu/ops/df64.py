@@ -443,6 +443,48 @@ def solve_pcg_staged(A: DD, b: DD, iters: int = 96, lift: float = 4e-6) -> DD:
     return unscale(x, s)
 
 
+@__import__("functools").lru_cache(maxsize=None)
+def _resid_fn(N: int):
+    """Jitted DD residual r = b - A x with every operand a materialized
+    parameter (same safety class as _pcg_fns' _iter phase, which already
+    runs matvec-under-jit correctly; the EFT-breaking pattern is broadcast
+    f32 multipliers and cross-program shared subexpressions, neither of
+    which appears here)."""
+
+    def _resid(A: DD, b: DD, x: DD) -> DD:
+        return sub(b, matvec(A, x))
+
+    return jax.jit(_resid)
+
+
+def solve_pcg_refined(A: DD, b: DD, iters: int = 96, lift: float = 4e-6,
+                      refine: int = 2) -> DD:
+    """:func:`solve_pcg_staged` + OUTER-SYSTEM DD iterative refinement —
+    the missing piece named in :func:`solve_pcg`'s "WHY THIS IS NOT THE
+    DEFAULT TIER" note (round 5).
+
+    PCG's error is FORWARD error at the preconditioned-kappa * eps_dd floor
+    (~2e-7 relative on the full-scale pose-graph K) in an arbitrary
+    direction, which the Woodbury consumer's ~9-order cancellation cannot
+    survive. Refinement computes the residual r = b - A x in full DD and
+    solves the correction through the same PCG; each round contracts the
+    error by the PCG convergence factor, so 1-2 rounds reach a
+    backward-consistent ~1e-13 relative solution. Cost: (1 + refine) PCG
+    solves + refine DD matvecs — still O(N^2) per application vs the direct
+    DD Cholesky's O(N^3) SEQUENTIAL work.
+
+    Degrades like solve_pcg: a failed lifted f32 factorization propagates
+    NaN and the caller's ladder escalates to the direct tier.
+    """
+    x = solve_pcg_staged(A, b, iters=iters, lift=lift)
+    resid = _resid_fn(A.hi.shape[0])
+    for _ in range(refine):
+        r = resid(A, b, x)
+        dx = solve_pcg_staged(A, r, iters=iters, lift=lift)
+        x = add(x, dx)
+    return x
+
+
 def selftest() -> float:
     """Max relative error of DD ops vs known-exact results — run on any
     backend to verify XLA preserves the error-free transforms (it must not

@@ -48,6 +48,7 @@ def test_fast_mode_is_the_benchmarked_config():
     assert cfg.lc.verify_sample == 4096
     assert cfg.lc.verify_coarse_iterations == 3
     assert cfg.lc.yaw_seed
+    assert cfg.lc.verify_coarse_reject == 0.6
 
 
 def test_fidelity_mode_is_reference_exact():
@@ -62,6 +63,7 @@ def test_fidelity_mode_is_reference_exact():
     assert cfg.lc.verify_tolerance == 1e-6
     assert cfg.lc.verify_coarse_iterations == 0
     assert not cfg.lc.yaw_seed
+    assert cfg.lc.verify_coarse_reject == 0.0
 
 
 def test_explicit_flags_override_mode():

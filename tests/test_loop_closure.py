@@ -269,3 +269,89 @@ def test_coarse_verify_matches_plain(rng):
     acc = np.asarray(det_plain.accepted)
     dT = np.asarray(det_plain.transform)[acc] - np.asarray(det_coarse.transform)[acc]
     assert np.abs(dT).max() < 5e-3, dT
+
+
+def test_hoisted_coarse_matches_nested(rng):
+    """detect() hoists the coarse warm start out of the per-lane ICP (to
+    expose the coarse RMS for the early-reject gate); the composition must
+    match running icp_point_to_plane with the SAME coarse settings nested
+    inside it (ops/icp.py:164-182) — same accepted transforms and fitness."""
+    from lidar_slam_tpu.config import ICPConfig
+    from lidar_slam_tpu.ops.icp import icp_point_to_plane
+
+    poses, scans = make_scene_scans(rng)
+    sc_cfg = ScanContextConfig()
+    cfg = LoopClosureConfig(
+        frame_gap=5, sc_distance_threshold=0.35, icp_fitness_threshold=0.6,
+        icp_max_iterations=15, verify_coarse_iterations=4,
+        verify_coarse_sample=256,
+    )
+    db = lc.init_db(16, 2048, sc_cfg)
+    for f, scan in enumerate(scans):
+        db = lc.add_frame(db, to_pc(scan), jnp.int32(f), sc_cfg)
+    det = lc.detect(db, cfg, sc_cfg)
+    acc = np.asarray(det.accepted)
+    assert acc.any()
+    q = int(det.query_frame)
+    query_cloud = PointCloud(db.clouds[q], db.cloud_mask[q])
+    icp_cfg = ICPConfig(
+        max_iterations=15, tolerance=cfg.verify_tolerance, sample_points=0,
+        coarse_iterations=4, coarse_sample=256,
+    )
+    for k in np.nonzero(acc)[0]:
+        m = int(det.match_frame[k])
+        res = icp_point_to_plane(
+            query_cloud,
+            PointCloud(db.clouds[m], db.cloud_mask[m]),
+            db.normals[m],
+            icp_cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.transformation), np.asarray(det.transform[k]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(res.final_error), float(det.icp_fitness[k]), rtol=1e-4,
+        )
+        # the hoisted coarse RMS was recorded for the lane
+        assert np.isfinite(float(det.coarse_fitness[k]))
+
+
+def test_coarse_reject_gate(rng):
+    """verify_coarse_reject: a never-binding threshold is a no-op (identical
+    detections); a zero-margin threshold rejects every candidate without
+    running the fine phase (fine_fired False, all fitness inf)."""
+    poses, scans = make_scene_scans(rng)
+    sc_cfg = ScanContextConfig()
+    base = dict(
+        frame_gap=5, sc_distance_threshold=0.35, icp_fitness_threshold=0.6,
+        icp_max_iterations=15, verify_coarse_iterations=4,
+        verify_coarse_sample=256,
+    )
+    db = lc.init_db(16, 2048, sc_cfg)
+    for f, scan in enumerate(scans):
+        db = lc.add_frame(db, to_pc(scan), jnp.int32(f), sc_cfg)
+
+    det_off = lc.detect(db, LoopClosureConfig(**base), sc_cfg)
+    det_loose = lc.detect(
+        db, LoopClosureConfig(**base, verify_coarse_reject=1e9), sc_cfg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_off.accepted), np.asarray(det_loose.accepted)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_off.transform), np.asarray(det_loose.transform)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_off.icp_fitness), np.asarray(det_loose.icp_fitness)
+    )
+    assert np.asarray(det_off.accepted).any()
+    assert bool(det_off.fine_fired) and bool(det_loose.fine_fired)
+    assert int(det_off.n_valid) >= int(np.asarray(det_off.accepted).sum())
+
+    det_tight = lc.detect(
+        db, LoopClosureConfig(**base, verify_coarse_reject=1e-9), sc_cfg
+    )
+    assert not np.asarray(det_tight.accepted).any()
+    assert not bool(det_tight.fine_fired)
+    assert np.isinf(np.asarray(det_tight.icp_fitness)).all()

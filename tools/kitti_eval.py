@@ -174,6 +174,7 @@ def main() -> int:
             # defaults / CLI --mode fast): yaw-seeded verify init; fidelity
             # pins the reference's identity init (loop_closure.hpp:105-109)
             yaw_seed=not args.fidelity,
+            verify_coarse_reject=0.0 if args.fidelity else 0.6,
         ),
         knn_backend=args.knn,
         optimize_midrun=midrun,

@@ -159,9 +159,12 @@ def main() -> int:
     split_fn = pipe.make_loop_fn_split(cfg)
 
     def lvl6(st, i):
-        (pg_s, poses, lc_n, vf_n, pend), det = split_fn(st, jnp.int32(-5) - i)
+        (pg_s, poses, lc_n, vf_n, vff_n, vbh_n, pend), det = split_fn(
+            st, jnp.int32(-5) - i)
         return st._replace(pg=pg_s, poses=poses, loop_count=lc_n,
-                           verify_fired=vf_n, pending_optimize=pend), det.accepted
+                           verify_fired=vf_n, verify_fine_fired=vff_n,
+                           verify_bound_hit=vbh_n,
+                           pending_optimize=pend), det.accepted
 
     def make_firing_state(st):
         d0 = st.db.desc[0]
@@ -180,9 +183,12 @@ def main() -> int:
         # vary poses per rep — identical dispatches are served from the
         # tunnel runtime's cache and would time as ~0
         st = st._replace(poses=st.poses + (i.astype(jnp.float32) * 1e-6))
-        (pg_s, poses, lc_n, vf_n, pend), det = split_fn(st, jnp.int32(F - 1))
+        (pg_s, poses, lc_n, vf_n, vff_n, vbh_n, pend), det = split_fn(
+            st, jnp.int32(F - 1))
         return st._replace(pg=pg_s, poses=poses, loop_count=lc_n,
-                           verify_fired=vf_n, pending_optimize=pend), det.accepted
+                           verify_fired=vf_n, verify_fine_fired=vff_n,
+                           verify_bound_hit=vbh_n,
+                           pending_optimize=pend), det.accepted
 
     timed("lvl0 donation floor      ", lvl0)
     timed("lvl1 +sc_distances+topk  ", lvl1)
