@@ -21,33 +21,23 @@ import sys
 import time
 
 
-def _build_config(args):
+def _apply_mode(base, mode):
+    """--fast / --fidelity mode presets (explicit flags override them).
+
+    fidelity = the reference's exact runtime settings (types.hpp:143-148,
+      icp.hpp:174 identity init, slam_node.cpp:112-115 optimize-on-find,
+      full-density correspondence, exact 1-NN) — the configuration the
+      parity/validation claims are measured at.
+    fast = the benchmarked throughput configuration (bench.py defaults /
+      docs/PERF.md): warm-started ICP on a 4096-point source subsample,
+      tol 3e-4 / 20 iters, fused slab-match Pallas 1-NN, cadence-spanning
+      dispatch blocks, deferred (finalize-time) optimization — equivalence
+      measured and disclosed per knob in PERF.md.
+    """
     import dataclasses
 
-    from .config import (
-        ICPConfig,
-        OccupancyGridConfig,
-        SlamConfig,
-        tiny_config,
-    )
-
-    if args.preset == "tiny":
-        base = tiny_config()
-    else:
-        base = SlamConfig()
-
-    # --fast / --fidelity mode presets (explicit flags below override them).
-    # fidelity = the reference's exact runtime settings (types.hpp:143-148,
-    #   icp.hpp:174 identity init, slam_node.cpp:112-115 optimize-on-find,
-    #   full-density correspondence, exact 1-NN) — the configuration the
-    #   parity/validation claims are measured at.
-    # fast = the benchmarked throughput configuration (bench.py defaults /
-    #   docs/PERF.md): warm-started ICP on a 4096-point source subsample,
-    #   tol 3e-4 / 20 iters, fused slab-match Pallas 1-NN, cadence-spanning
-    #   dispatch blocks, deferred (finalize-time) optimization — equivalence
-    #   measured and disclosed per knob in PERF.md.
-    if args.mode == "fidelity":
-        base = base.replace(
+    if mode == "fidelity":
+        return base.replace(
             icp=dataclasses.replace(
                 base.icp, max_iterations=50, tolerance=1e-6,
                 sample_points=0, target_points=0, warm_start=False,
@@ -59,8 +49,8 @@ def _build_config(args):
             knn_backend="auto",
             optimize_midrun=True,
         )
-    elif args.mode == "fast":
-        base = base.replace(
+    if mode == "fast":
+        return base.replace(
             icp=dataclasses.replace(
                 base.icp, max_iterations=20, tolerance=3e-4,
                 sample_points=4096, warm_start=True,
@@ -75,6 +65,24 @@ def _build_config(args):
             optimize_midrun=False,
             normal_probe_stride=2,
         )
+    return base
+
+
+def _build_config(args):
+    import dataclasses
+
+    from .config import (
+        OccupancyGridConfig,
+        SlamConfig,
+        tiny_config,
+    )
+
+    if args.preset == "tiny":
+        base = tiny_config()
+    else:
+        base = SlamConfig()
+
+    base = _apply_mode(base, args.mode)
     cfg = base.replace(
         voxel_size=args.voxel_size,
         icp=dataclasses.replace(
@@ -374,13 +382,21 @@ def _run_streaming(args, cfg, engine, frames, loader, start_frame, period):
 
 
 def cmd_run_batch(args) -> int:
-    """Batched multi-sequence SLAM (BASELINE.md config ladder #4)."""
+    """Batched multi-sequence SLAM (BASELINE.md config ladder #4).
+
+    Supports the same fast-path machinery as the single-sequence `run`:
+    --mode fast/fidelity presets, host-voxelize prep in loader workers,
+    cadence-spanning multi-tick dispatch blocks, --resident preload with
+    --warmup-run, and per-lane ATE/metrics export."""
+    import json
+
     import numpy as np
 
     from .config import SlamConfig
     from .parallel import BatchedSlamEngine
     from .utils import export
     from .utils.io import discover_frames, load_scan
+    from .utils.native import FrameLoader
 
     dirs = [d for d in args.data_dirs.split(",") if d]
     seqs = [discover_frames(d) for d in dirs]
@@ -390,29 +406,126 @@ def cmd_run_batch(args) -> int:
     n = min(len(s) for s in seqs)
     if args.frames:
         n = min(n, args.frames)
-    cfg = SlamConfig(
+
+    cfg = _apply_mode(SlamConfig(), args.mode)
+    cfg = cfg.replace(
         voxel_size=args.voxel_size,
-        max_points=args.max_points,
-        max_raw_points=args.max_raw_points,
-        max_frames=n + 8,
+        max_frames=n + 8,  # right-size DB-linear costs (same as cmd_run)
     )
-    eng = BatchedSlamEngine(cfg, batch=len(dirs))
-    t0 = time.perf_counter()
-    for i in range(n):
-        eng.push_scans([load_scan(seq[i][1]) for seq in seqs])
-    eng.finalize()
-    wall = time.perf_counter() - t0
+    if args.max_points:
+        cfg = cfg.replace(max_points=args.max_points, lc_cloud_points=0)
+    if args.lc_points:
+        cfg = cfg.replace(lc_cloud_points=args.lc_points)
+    if args.dispatch_block is not None:
+        cfg = cfg.replace(dispatch_block=args.dispatch_block)
+    if not args.no_host_voxelize:
+        cfg = cfg.replace(host_voxelize=True)
+    if args.max_raw_points:
+        cfg = cfg.replace(max_raw_points=args.max_raw_points)
+    else:
+        n0 = max(len(load_scan(s[0][1])) for s in seqs)
+        cap = 1 << max(int(np.ceil(np.log2(max(n0, 1024)))), 10)
+        cfg = cfg.replace(max_raw_points=cap)
+
+    loaders = [
+        FrameLoader(
+            [p for _, p in seq[:n]],
+            cap=cfg.max_points if cfg.host_voxelize else cfg.max_raw_points,
+            window=8, threads=2,
+            voxel=cfg.voxel_size if cfg.host_voxelize else 0.0,
+            raw_cap=cfg.max_raw_points,
+        )
+        for seq in seqs
+    ]
+    t_start = time.perf_counter()
+    if args.resident:
+        t0 = time.perf_counter()
+        prepared = [[ld.get(i) for i in range(n)] for ld in loaders]
+        t_prep = time.perf_counter() - t0
+        print(f"prep: {t_prep:.1f}s", file=sys.stderr, flush=True)
+        if not args.max_points:
+            # right-size the cloud pad to the prepared maximum (cmd_run's
+            # sensor auto-sizing, over all lanes)
+            mx = max(max(len(p) for p in lane) for lane in prepared)
+            cap = max(4096, 1 << int(np.ceil(np.log2(max(mx, 1)))))
+            if cap < cfg.max_points:
+                print(f"auto-sized max_points: {cfg.max_points} -> {cap}",
+                      file=sys.stderr)
+                cfg = cfg.replace(max_points=cap)
+        eng = BatchedSlamEngine(
+            cfg, batch=len(dirs), optimize_midrun=cfg.optimize_midrun
+        )
+        t0 = time.perf_counter()
+        eng.preload(prepared)
+        t_up = time.perf_counter() - t0
+        print(f"upload: {t_up:.1f}s", file=sys.stderr, flush=True)
+        t_warm = 0.0
+        if args.warmup_run:
+            t0 = time.perf_counter()
+            eng.run_preloaded()
+            eng.finalize()
+            np.asarray(eng.state.n_poses)
+            t_warm = time.perf_counter() - t0
+            print(f"warmup run (compile/load + run): {t_warm:.1f}s",
+                  file=sys.stderr, flush=True)
+            eng.reset()
+        t0 = time.perf_counter()
+        eng.run_preloaded()
+        eng.finalize()
+        np.asarray(eng.state.n_poses)  # honest device sync
+        t_dev = time.perf_counter() - t0
+        print(
+            f"resident run: prep {t_prep:.1f}s + upload {t_up:.1f}s + device "
+            f"{t_dev:.1f}s ({n * len(dirs) / t_dev:.1f} scans/s aggregate "
+            "device-side)"
+        )
+    else:
+        eng = BatchedSlamEngine(
+            cfg, batch=len(dirs), optimize_midrun=cfg.optimize_midrun
+        )
+        t_warm = 0.0
+        t0 = time.perf_counter()
+        for i in range(n):
+            eng.push_scans([ld.get(i) for ld in loaders])
+        eng.finalize()
+        np.asarray(eng.state.n_poses)
+    wall = time.perf_counter() - t_start - t_warm
     os.makedirs(args.out_dir, exist_ok=True)
     trajs = eng.trajectories()
+    total = n * len(dirs)
+    metrics = {
+        "sequences": len(dirs), "frames": n,
+        "wall_sec": wall, "scans_per_sec_aggregate": total / wall,
+        "scans_per_sec_per_lane": n / wall,
+        "loops": np.asarray(eng.state.loop_count).tolist(),
+        "mode": args.mode,
+    }
+    from .utils.metrics import ate_rmse
+
+    from .utils.dataset import load_gt_poses
+
     for b, d in enumerate(dirs):
         name = os.path.basename(os.path.normpath(d)) or f"seq{b}"
         export.save_trajectory_kitti(
             os.path.join(args.out_dir, f"trajectory_{name}.txt"), trajs[b]
         )
-    total = n * len(dirs)
+        gt_path = os.path.join(d, "poses_gt.txt")
+        if os.path.exists(gt_path):
+            gt = load_gt_poses(gt_path)
+            m = min(len(gt), len(trajs[b]))
+            metrics.setdefault("ate_rmse", {})[name] = float(
+                ate_rmse(trajs[b][:m], gt[:m])
+            )
+    with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    if "ate_rmse" in metrics:
+        print("ATE RMSE: " + ", ".join(
+            f"{k}={v:.3f} m" for k, v in metrics["ate_rmse"].items()
+        ))
     print(
         f"done: {len(dirs)} sequences x {n} frames in {wall:.1f}s "
-        f"({total / wall:.1f} scans/s aggregate) -> {args.out_dir}"
+        f"({total / wall:.1f} scans/s aggregate, "
+        f"{n / wall:.1f}/lane) -> {args.out_dir}"
     )
     return 0
 
@@ -536,9 +649,32 @@ def main(argv=None) -> int:
                    help="comma-separated frame directories")
     b.add_argument("--out-dir", default="slam_batch_out")
     b.add_argument("--voxel-size", type=float, default=0.5)
-    b.add_argument("--max-points", type=int, default=16384)
-    b.add_argument("--max-raw-points", type=int, default=131072)
+    b.add_argument("--max-points", type=int, default=0,
+                   help="cloud pad (0 = auto-size from the data with "
+                   "--resident, else the config default)")
+    b.add_argument("--lc-points", type=int, default=0,
+                   help="loop-closure DB cloud size (0 = same as max-points)")
+    b.add_argument("--max-raw-points", type=int, default=0,
+                   help="raw scan pad (0 = auto-size from the first frames)")
     b.add_argument("--frames", type=int, default=0)
+    b.add_argument(
+        "--mode", choices=["default", "fast", "fidelity"], default="default",
+        help="same presets as `run` (fast = benchmarked throughput config: "
+        "warm-started subsampled ICP, slab_pallas 1-NN, cadence-spanning "
+        "multi-tick blocks, deferred optimization)",
+    )
+    b.add_argument("--dispatch-block", type=int, default=None,
+                   help="scans per device dispatch per lane (may span "
+                   "several loop cadences — the covered queries run bunched "
+                   "in one vmapped multi-tick dispatch, detection-exact)")
+    b.add_argument("--resident", action="store_true",
+                   help="upload every lane's prepared dataset to the device "
+                   "once and run with scalar-only dispatches")
+    b.add_argument("--warmup-run", action="store_true",
+                   help="(with --resident) one untimed pass first to absorb "
+                   "compile/load cost (bench.py methodology)")
+    b.add_argument("--no-host-voxelize", action="store_true",
+                   help="voxelize on device instead of in the loader workers")
     b.set_defaults(fn=cmd_run_batch)
 
     c = sub.add_parser("convert", help="KITTI .bin -> .ply")

@@ -115,6 +115,58 @@ def test_ring_key_prefilter_equivalence(rng):
     np.testing.assert_allclose(float(pre[7]), float(full[7]), atol=1e-6)
 
 
+def test_batched_multi_tick_matches_single():
+    """Batched engine with a cadence-SPANNING dispatch block (block = k x
+    loop_check_every -> bunched vmapped multi-tick detection, the single
+    engine's fast-path shape) matches the single engine."""
+    scans, gt = _scans(13)
+    cfg = _cfg().replace(dispatch_block=4, loop_check_every=2)
+    single = SlamEngine(cfg)
+    for s in scans:
+        single.push_scan(s)
+    single.finalize()
+    ref = single.trajectory()
+    ref_loops = int(single.state.loop_count)
+
+    batched = BatchedSlamEngine(cfg, batch=2)
+    assert batched._n_ticks == 2
+    for s in scans:
+        batched.push_scans([s, s])
+    batched.finalize()
+    trajs = batched.trajectories()
+    assert np.asarray(batched.state.loop_count).tolist() == [ref_loops] * 2
+    np.testing.assert_allclose(trajs[0], ref, atol=1e-4)
+    np.testing.assert_allclose(trajs[1], ref, atol=1e-4)
+
+
+def test_batched_resident_matches_streaming():
+    """preload + run_preloaded (transfer-free steady state over the batch)
+    must reproduce the streaming push_scans path exactly."""
+    scans, _ = _scans(11)
+    cfg = _cfg().replace(dispatch_block=4, loop_check_every=2)
+
+    stream = BatchedSlamEngine(cfg, batch=2)
+    for s in scans:
+        stream.push_scans([s, s])
+    stream.finalize()
+    ref = stream.trajectories()
+    ref_loops = np.asarray(stream.state.loop_count).tolist()
+
+    res = BatchedSlamEngine(cfg, batch=2)
+    res.preload([list(scans), list(scans)])
+    res.run_preloaded()
+    res.finalize()
+    trajs = res.trajectories()
+    assert np.asarray(res.state.loop_count).tolist() == ref_loops
+    np.testing.assert_allclose(trajs, ref, atol=1e-5)
+
+    # reset keeps the compiled programs and reruns identically (warmup-run)
+    res.reset()
+    res.run_preloaded()
+    res.finalize()
+    np.testing.assert_allclose(res.trajectories(), trajs, atol=1e-6)
+
+
 def test_batched_block_dispatch_matches_single():
     """Batched engine with dispatch_block>1 (vmapped lax.scan blocks, one
     host->device put per block) matches the single engine bit-for-bit."""
