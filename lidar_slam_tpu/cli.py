@@ -312,6 +312,42 @@ def cmd_run(args) -> int:
                 f"config: voxel={cfg.voxel_size} max_points={cfg.max_points} "
                 f"frames={len(frames)} backend={cfg.knn_backend}"
             )
+        t_warm = 0.0
+        if args.warmup_run and start_frame:
+            print("--warmup-run ignored with --resume (reset would discard "
+                  "the restored state)", file=sys.stderr)
+        if args.warmup_run and not start_frame:
+            # Streaming warmup: push enough frames to compile/load every
+            # program the steady state uses (init, block, multi-tick, the
+            # per-step partial-tail path), then reset. The warmup pass makes
+            # NO device->host fetch, so the timed pass's per-block uploads
+            # keep the healthy-bandwidth path (docs/PERF.md
+            # "transfer-free steady state" items 1-2).
+            t0 = time.perf_counter()
+            blk = max(cfg.dispatch_block, 1)
+            wn = min(len(frames), 3 * blk + cfg.loop_check_every + 2)
+            for i in range(wn):
+                if cfg.host_normals:
+                    p, nr = loader.get_with_normals(i)
+                    engine.push_scan(p, normals=nr)
+                else:
+                    engine.push_scan(loader.get(i))
+            engine.flush()
+            engine.reset()
+            # fresh loader: the prefetch window has been consumed
+            loader = FrameLoader(
+                [p for _, p in frames],
+                cap=cfg.max_points if cfg.host_voxelize else cfg.max_raw_points,
+                window=8, threads=4 if cfg.host_voxelize else 2,
+                voxel=cfg.voxel_size if cfg.host_voxelize else 0.0,
+                raw_cap=cfg.max_raw_points,
+                normals_radius=(
+                    cfg.effective_normal_radius if cfg.host_normals else 0.0
+                ),
+            )
+            t_warm = time.perf_counter() - t0
+            print(f"warmup ({wn} frames, compile/load): {t_warm:.1f}s",
+                  file=sys.stderr, flush=True)
         _run_streaming(args, cfg, engine, frames, loader, start_frame, period)
     if args.profile:
         import jax
@@ -319,8 +355,7 @@ def cmd_run(args) -> int:
         jax.profiler.stop_trace()
         print(f"profiler trace -> {args.profile}")
     wall = time.perf_counter() - t_start
-    if args.resident:
-        wall -= t_warm  # the untimed --warmup-run pass (0.0 without it)
+    wall -= t_warm  # the untimed --warmup-run pass (0.0 without it)
     sps = (len(frames) - start_frame) / wall
 
     extra = {"scans_per_sec": sps, "wall_sec": wall}
@@ -347,6 +382,7 @@ def cmd_run(args) -> int:
 def _run_streaming(args, cfg, engine, frames, loader, start_frame, period):
     from .utils import export
 
+    t_push0 = time.perf_counter()
     for i, (_, path) in enumerate(frames):
         if i < start_frame:
             continue
@@ -378,7 +414,20 @@ def _run_streaming(args, cfg, engine, frames, loader, start_frame, period):
             dt = time.perf_counter() - t0
             if dt < period:
                 time.sleep(period - dt)
+    engine.flush()
+    import numpy as _np
+
+    _np.asarray(engine.state.n_poses)  # sync: split push vs finalize honestly
+    t_push = time.perf_counter() - t_push0
+    t0 = time.perf_counter()
     engine.finalize()
+    _np.asarray(engine.state.n_poses)
+    t_fin = time.perf_counter() - t0
+    n = len(frames) - start_frame
+    print(
+        f"streaming: push {t_push:.1f}s ({n / t_push:.1f} scans/s), "
+        f"finalize {t_fin:.1f}s"
+    )
 
 
 def cmd_run_batch(args) -> int:
@@ -620,10 +669,10 @@ def main(argv=None) -> int:
                    "once and run with scalar-only dispatches (the "
                    "benchmarked steady state; needs the dataset to fit HBM)")
     r.add_argument("--warmup-run", action="store_true",
-                   help="(with --resident) run the dataset once untimed "
-                   "first — absorbs the per-process program compile/load "
-                   "cost so the reported device time is steady-state "
-                   "(bench.py methodology)")
+                   help="run untimed first to absorb the per-process program "
+                   "compile/load cost (bench.py methodology): the whole "
+                   "dataset with --resident, or just enough frames to "
+                   "compile every steady-state program when streaming")
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
     r.add_argument("--no-host-voxelize", action="store_true",
                    help="voxelize on device instead of in the loader workers")

@@ -345,8 +345,7 @@ def make_step_fn(config: SlamConfig, nn1_fn: Optional[Callable] = None):
 
 
 def make_block_step_fn(config: SlamConfig, block: int,
-                       nn1_fn: Optional[Callable] = None,
-                       include_loop: bool = False):
+                       nn1_fn: Optional[Callable] = None):
     """Process ``block`` consecutive scans in ONE device dispatch.
 
     ``lax.scan`` over the per-scan step body: identical math and state
@@ -356,23 +355,19 @@ def make_block_step_fn(config: SlamConfig, block: int,
     loop cadence (slam_node.cpp:160) so detection still runs exactly at the
     reference's every-10-frames boundary.
 
-    ``include_loop=True`` appends the loop-detection tick (detect + factor
-    insertion + gated optimize) for the block's LAST frame to the same
-    program. NOT used by the engine: nesting detect's lax.cond-gated
-    verification inside the big block program makes the TPU compiler
-    materialize copies of the captured DB buffers per dispatch (measured
-    4x slower at F=308, compile failure at F=1508) — the same pathology
-    that forced detect's gathered-slice design. The standalone loop_fn
-    dispatch costs one extra ~9 ms RPC per cadence period instead.
+    Loop detection is deliberately NOT fused into this program (it runs as
+    its own dispatch, :func:`make_loop_fn` / :func:`make_multi_tick_fn`):
+    nesting detect's lax.cond-gated verification inside the big block
+    program makes the TPU compiler materialize copies of the captured DB
+    buffers per dispatch (measured 4x slower at F=308, compile failure at
+    F=1508) — the same pathology that forced detect's gathered-slice
+    design. The standalone loop dispatch costs one extra ~9 ms RPC per
+    cadence period instead.
 
     Signature: ``block_fn(state, raw_blk (B, N, 3), counts (B,), frame0,
     raw_normals_blk=None) -> state`` where scan k is frame ``frame0 + k``.
     """
     body = _make_step_body(config, nn1_fn)
-    loop_body = (
-        _make_loop_body(config, config.optimize_midrun)
-        if include_loop else None
-    )
 
     @functools.partial(jax.jit, donate_argnums=0)
     def block_fn(state: SlamState, raw_blk, counts, frame0,
@@ -393,8 +388,6 @@ def make_block_step_fn(config: SlamConfig, block: int,
             else (raw_blk, counts, ks, raw_normals_blk)
         )
         state, _ = jax.lax.scan(scan_body, state, xs)
-        if loop_body is not None:
-            state, _ = loop_body(state, frame0 + block - 1)
         return state
 
     return block_fn

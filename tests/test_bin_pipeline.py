@@ -37,3 +37,25 @@ def test_bin_dataset_cli_roundtrip(tmp_path):
     est = np.tile(np.eye(4, dtype=np.float64), (10, 1, 1))
     est[:, :3, :] = traj.reshape(10, 3, 4)
     assert ate_rmse(est, gt) < 3.0  # short segment, sparse scans
+
+
+def test_streaming_warmup_run_matches_plain(tmp_path):
+    """--warmup-run in streaming mode (compile-absorbing partial pass +
+    engine reset + fresh loader) must not change the result."""
+    import os
+
+    ds = str(tmp_path / "plyds")
+    rc = main(["make-dataset", "--out", ds, "--frames", "14",
+               "--scan-points", "4000"])
+    assert rc == 0
+    outs = []
+    for flag in ([], ["--warmup-run"]):
+        out = str(tmp_path / f"out{len(outs)}")
+        rc = main(
+            ["run", "--data-dir", ds, "--out-dir", out, "--preset", "tiny",
+             "--cpu", "--voxel-size", "0.8", "--max-points", "4096",
+             "--dispatch-block", "4"] + flag
+        )
+        assert rc == 0
+        outs.append(np.loadtxt(os.path.join(out, "trajectory.txt")))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
