@@ -430,6 +430,18 @@ def _run_streaming(args, cfg, engine, frames, loader, start_frame, period):
     )
 
 
+def _lane_names(dirs: list) -> list:
+    """Per-lane export names from sequence directories.
+
+    Duplicate basenames (e.g. the same directory run in two lanes) would
+    silently overwrite each other's trajectory file and ATE entry —
+    disambiguate them with the lane index."""
+    base = [os.path.basename(os.path.normpath(d)) or f"seq{b}"
+            for b, d in enumerate(dirs)]
+    return [f"lane{b}_{n}" if base.count(n) > 1 else n
+            for b, n in enumerate(base)]
+
+
 def cmd_run_batch(args) -> int:
     """Batched multi-sequence SLAM (BASELINE.md config ladder #4).
 
@@ -438,6 +450,11 @@ def cmd_run_batch(args) -> int:
     cadence-spanning multi-tick dispatch blocks, --resident preload with
     --warmup-run, and per-lane ATE/metrics export."""
     import json
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -528,11 +545,16 @@ def cmd_run_batch(args) -> int:
             f"{t_dev:.1f}s ({n * len(dirs) / t_dev:.1f} scans/s aggregate "
             "device-side)"
         )
+        resident_split = {
+            "prep_sec": t_prep, "upload_sec": t_up, "device_sec": t_dev,
+            "scans_per_sec_device_aggregate": n * len(dirs) / t_dev,
+        }
     else:
         eng = BatchedSlamEngine(
             cfg, batch=len(dirs), optimize_midrun=cfg.optimize_midrun
         )
         t_warm = 0.0
+        resident_split = None
         t0 = time.perf_counter()
         for i in range(n):
             eng.push_scans([ld.get(i) for ld in loaders])
@@ -549,12 +571,15 @@ def cmd_run_batch(args) -> int:
         "loops": np.asarray(eng.state.loop_count).tolist(),
         "mode": args.mode,
     }
+    if resident_split is not None:
+        metrics["resident"] = resident_split
     from .utils.metrics import ate_rmse
 
     from .utils.dataset import load_gt_poses
 
+    lane_names = _lane_names(dirs)
     for b, d in enumerate(dirs):
-        name = os.path.basename(os.path.normpath(d)) or f"seq{b}"
+        name = lane_names[b]
         export.save_trajectory_kitti(
             os.path.join(args.out_dir, f"trajectory_{name}.txt"), trajs[b]
         )
@@ -724,6 +749,8 @@ def main(argv=None) -> int:
                    "compile/load cost (bench.py methodology)")
     b.add_argument("--no-host-voxelize", action="store_true",
                    help="voxelize on device instead of in the loader workers")
+    b.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
     b.set_defaults(fn=cmd_run_batch)
 
     c = sub.add_parser("convert", help="KITTI .bin -> .ply")

@@ -108,24 +108,35 @@ def nn1_pallas(
     ).T
 
     grid = (Sp // ts, Tp // tt)
-    minv, argm = pl.pallas_call(
-        _nn1_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((ts, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((ts, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(src8, tgt8)
 
+    # sequential_vmap: lanes of a batched engine run the kernel via lax.map
+    # (the revolving-accumulator kernel has no native batch axis)
+    @jax.custom_batching.sequential_vmap
+    def call(src8, tgt8):
+        out = pl.pallas_call(
+            _nn1_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ts, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tt), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(src8, tgt8)
+        return tuple(out)
+
+    minv, argm = call(src8, tgt8)
     return argm[:S, 0], jnp.maximum(minv[:S, 0], 0.0)
 
 
@@ -260,26 +271,42 @@ def _match_slab_call(src, tgt8, starts, ts: int, window: int,
     Sp = src.shape[0]
     Tp = tgt8.shape[1]
     src8 = jnp.concatenate([src, jnp.zeros((Sp, 5), src.dtype)], axis=1)
-    qn, minv, argm = pl.pallas_call(
-        functools.partial(_match_slab_kernel, window=window),
-        grid=(Sp // ts,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ts, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((ts, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Sp, 8), jnp.float32),
-            jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(starts, src8, tgt8)
+
+    # sequential_vmap: under a batched (vmap) engine the per-lane scalar
+    # `starts` operand would otherwise grow a batch dimension inside SMEM,
+    # which the Pallas TPU lowering rejects — lanes run the kernel via
+    # lax.map instead (the NN kernel is a small slice of the per-scan
+    # budget, and batched lanes share one chip anyway).
+    @jax.custom_batching.sequential_vmap
+    def call(starts, src8, tgt8):
+        out = pl.pallas_call(
+            functools.partial(_match_slab_kernel, window=window),
+            grid=(Sp // ts,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ts, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, Tp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((ts, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ts, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ts, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Sp, 8), jnp.float32),
+                jax.ShapeDtypeStruct((Sp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Sp, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(starts, src8, tgt8)
+        return tuple(out)
+
+    qn, minv, argm = call(starts, src8, tgt8)
     return qn, minv, argm
 
 

@@ -77,3 +77,12 @@ def test_explicit_flags_override_mode():
     assert cfg.knn_backend == "pallas"
     assert cfg.dispatch_block == 10
     assert cfg.normal_probe_stride == 3
+
+
+def test_lane_names_disambiguate_duplicates():
+    from lidar_slam_tpu.cli import _lane_names
+
+    assert _lane_names(["/a/s0", "/a/s1"]) == ["s0", "s1"]
+    # same dir in two lanes must not overwrite each other's exports
+    assert _lane_names(["/a/seq", "/b/seq"]) == ["lane0_seq", "lane1_seq"]
+    assert _lane_names(["/a/seq/", "/a/seq"]) == ["lane0_seq", "lane1_seq"]
