@@ -410,6 +410,17 @@ def main() -> int:
         f"mean {int(npts.mean())} max {npts.max()}"
     )
 
+    # BENCH_PREP_ONLY=1: stop after writing the prep cache (no engine, no
+    # device). The mirror/validation tools (tools/mirror_fullscale.py,
+    # tools/mirror_detect.py) consume these caches; this builds them on a
+    # TPU-less host. Combine with BENCH_CPU=1 to skip device enumeration.
+    if os.environ.get("BENCH_PREP_ONLY", "0") == "1":
+        print(json.dumps({
+            "metric": "prep_only", "value": frames, "unit": "frames",
+            "vs_baseline": 0.0, "cache": cache,
+        }))
+        return 0
+
     # ONE engine + ONE upfront dataset upload (resident mode): re-creating
     # the engine re-deserializes every executable, and any device->host fetch
     # permanently degrades upload bandwidth ~30x on the tunneled runtime —
